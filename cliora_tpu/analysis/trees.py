@@ -1,0 +1,186 @@
+"""Tree utilities: backpointer decoding, span extraction, F1 stats.
+
+The device-side CKY (ops/chart_pass.py) emits one ``(B, ncells)`` int32
+backpointer array; these helpers turn rows of it into nested-tuple trees
+and span sets on the host (O(n) python per sentence -- the expensive part
+stayed on device, unlike the reference's host-side CKY,
+cliora/analysis/cky.py:31-109).
+
+Span convention follows the reference eval: ``(left, right)`` with *both
+indices inclusive* (cliora/analysis/utils.py:29-49 ``get_spans``), matching
+the gold span tuples shipped in the Flickr/COCO data files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cliora_tpu.chart.offsets import level_offsets
+
+
+def bp_to_tree(n: int, bp_row):
+    """Backpointer row -> nested tuple of leaf indices.
+
+    ``bp_row[cell(level, pos)]`` = chosen split k: left child (k, pos),
+    right child (level-k-1, pos+k+1).
+    """
+    offs = level_offsets(n)
+    bp_row = np.asarray(bp_row)
+
+    def build(level, pos):
+        if level == 0:
+            return int(pos)
+        k = int(bp_row[offs[level] + pos])
+        return (build(k, pos), build(level - k - 1, pos + k + 1))
+
+    return build(n - 1, 0)
+
+
+def tree_to_spans(tree):
+    """All internal-node spans of a nested-tuple tree, inclusive indices.
+
+    Includes the root span (callers drop it for F1, as the reference does
+    with ``[:-1]`` slicing, cliora/scripts/train.py:187-189).
+    """
+    spans = []
+
+    def helper(tr):
+        if not isinstance(tr, (tuple, list)):
+            return (tr, tr)
+        l = helper(tr[0])
+        r = helper(tr[1])
+        span = (l[0], r[1])
+        spans.append(span)
+        return span
+
+    helper(tree)
+    return spans
+
+
+def tree_to_string(tree, words=None):
+    """Nested tuple -> bracketed string ``((a b) c)``."""
+    def helper(tr):
+        if not isinstance(tr, (tuple, list)):
+            return str(words[tr]) if words is not None else str(tr)
+        return "(" + " ".join(helper(x) for x in tr) + ")"
+    return helper(tree)
+
+
+def replace_leaves(tree, leaves):
+    """Relabel leaf indices with tokens (reference: scripts/parse.py:82-98)."""
+    def helper(tr, pos=0):
+        if not isinstance(tr, (tuple, list)):
+            return 1, leaves[pos]
+        out, sofar = [], 0
+        for node in tr:
+            size, new = helper(node, pos + sofar)
+            sofar += size
+            out.append(new)
+        return sofar, tuple(out)
+    return helper(tree)[1]
+
+
+def get_actions(tree_str, SHIFT=0, REDUCE=1, OPEN="(", CLOSE=")"):
+    """Bracketed string -> shift/reduce actions.
+
+    (reference: cliora/analysis/utils.py:3-26)
+    """
+    actions = []
+    tree_str = tree_str.strip()
+    i = 0
+    num_shift = num_reduce = 0
+    while i < len(tree_str):
+        ch = tree_str[i]
+        if ch != " " and ch != OPEN and ch != CLOSE:
+            if tree_str[i - 1] == OPEN or tree_str[i - 1] == " ":
+                actions.append(SHIFT)
+                num_shift += 1
+        elif ch == CLOSE:
+            actions.append(REDUCE)
+            num_reduce += 1
+        i += 1
+    assert num_shift == num_reduce + 1
+    return actions
+
+
+def get_spans(actions, SHIFT=0, REDUCE=1):
+    """Actions -> spans, inclusive indices.
+
+    (reference: cliora/analysis/utils.py:29-49)
+    """
+    sent = list(range((len(actions) + 1) // 2))
+    spans = []
+    pointer = 0
+    stack = []
+    for action in actions:
+        if action == SHIFT:
+            stack.append(sent[pointer])
+            pointer += 1
+        else:
+            right = stack.pop()
+            left = stack.pop()
+            if isinstance(left, int):
+                left = (left, None)
+            if isinstance(right, int):
+                right = (None, right)
+            new_span = (left[0], right[1])
+            spans.append(new_span)
+            stack.append(new_span)
+    return spans
+
+
+def get_stats(pred_spans, gold_spans):
+    """(tp, fp, fn) between two span collections.
+
+    (reference: cliora/analysis/utils.py:52-64)
+    """
+    tp = fp = fn = 0
+    for span in pred_spans:
+        if span in gold_spans:
+            tp += 1
+        else:
+            fp += 1
+    for span in gold_spans:
+        if span not in pred_spans:
+            fn += 1
+    return tp, fp, fn
+
+
+def sent_f1(pred_spans, gold_spans):
+    """Per-sentence span F1 (reference: cliora/scripts/train.py:195-204)."""
+    pred, gold = set(pred_spans), set(gold_spans)
+    overlap = pred & gold
+    prec = len(overlap) / (len(pred) + 1e-8)
+    reca = len(overlap) / (len(gold) + 1e-8)
+    if len(gold) == 0:
+        reca = 1.0
+        if len(pred) == 0:
+            prec = 1.0
+    return 2 * prec * reca / (prec + reca + 1e-8)
+
+
+class F1Meter:
+    """Corpus-level micro F1 accumulator."""
+
+    def __init__(self):
+        self.tp = self.fp = self.fn = 0
+        self.sent = []
+
+    def update(self, pred_spans, gold_spans):
+        tp, fp, fn = get_stats(pred_spans, gold_spans)
+        self.tp += tp
+        self.fp += fp
+        self.fn += fn
+        self.sent.append(sent_f1(pred_spans, gold_spans))
+
+    @property
+    def corpus_f1(self):
+        prec = self.tp / max(self.tp + self.fp, 1)
+        reca = self.tp / max(self.tp + self.fn, 1)
+        if prec + reca == 0:
+            return 0.0
+        return 2 * prec * reca / (prec + reca)
+
+    @property
+    def sent_f1(self):
+        return float(np.mean(self.sent)) if self.sent else 0.0

@@ -1,0 +1,32 @@
+"""Static model configuration.
+
+Hashable dataclass closed over by jitted functions, mirroring the
+reference's model flags (reference: cliora/scripts/train.py:337-345,
+cliora/net/trainer.py:504-558).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    size: int = 400                 # hidden_dim
+    input_size: int = 1024          # embedding width E
+    arch: str = "mlp"               # 'mlp' | 'treelstm'
+    share: bool = True              # tie inside/outside compose+score fns
+    normalize: str = "unit"         # 'unit' | 'none'
+    compress: bool = False          # outside root = inside root @ mat
+    outside: bool = True            # run the outside pass
+    use_obj: bool = False           # CLIORA: visual region features
+    n_regions: int = 36             # MAF regions per image
+    obj_feat_size: int = 2048       # Faster-R-CNN feature width
+    attn_dropout: float = 0.1       # AttentionHead dropout (cliora.py:32)
+    attn_temp: float = 1.0          # AttentionHead temperature
+    compute_dtype: str = "float32"  # matmul compute dtype (bfloat16 opt-in)
+
+    def __post_init__(self):
+        assert self.arch in ("mlp", "treelstm"), self.arch
+        assert self.normalize in ("unit", "none"), self.normalize
+        assert self.compute_dtype in ("float32", "bfloat16")

@@ -1,0 +1,225 @@
+"""Functional inside / outside chart passes.
+
+The chart is a value: ``(B, ncells, D)`` arrays produced by a traced
+Python loop over levels inside ``jit`` -- one gather / compose / score /
+softmax / aggregate / scatter block per level, which XLA fuses per level.
+Mirrors the math of the reference's mutate-in-place passes
+(reference: cliora/net/diora.py:100-200,295-401 and
+cliora/net/cliora.py:103-208,304-414) with these TPU-native changes:
+
+  * gather indices are baked int32 constants (see chart/indices.py);
+  * the CKY argmax decode is fused into the inside pass: split scores are
+    max-normalized per cell (the reference does this in a monkey-patched
+    hook, cliora/analysis/utils.py:78-95) and reduced to a single
+    ``(B, ncells)`` backpointer array on device, replacing the reference's
+    per-cell host-sync Python CKY (cliora/analysis/cky.py:31-99);
+  * the vestigial LSTM cell-state chart ("c"), identically zero in the MLP
+    arch (cliora/net/diora.py:61,70), is only materialized for the
+    TreeLSTM arch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cliora_tpu.chart.indices import INDEX
+from cliora_tpu.chart.offsets import level_offsets, ncells
+from cliora_tpu.models.config import ModelConfig
+from cliora_tpu.ops.core import (
+    bilinear,
+    compose_mlp,
+    compose_treelstm,
+    normalize,
+    region_attention,
+)
+
+
+class InsideOut(NamedTuple):
+    inside_h: jax.Array            # (B, ncells, D)
+    inside_s: jax.Array            # (B, ncells, 1)
+    inside_c: Optional[jax.Array]  # (B, ncells, D) | None (mlp arch)
+    outside_h: Optional[jax.Array]
+    outside_s: Optional[jax.Array]
+    outside_c: Optional[jax.Array]
+    cky_bp: Optional[jax.Array]    # (B, ncells) int32 argmax split per cell
+    cky_val: Optional[jax.Array]   # (B, ncells) CKY chart values
+
+
+def _compose(cfg: ModelConfig, cp, lh, rh, lc, rc):
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.arch == "treelstm":
+        return compose_treelstm(cp, (lh, lc), (rh, rc), compute_dtype=dtype)
+    return compose_mlp(cp, lh, rh, compute_dtype=dtype), None
+
+
+def inside_pass(
+    cfg: ModelConfig,
+    dp,
+    h0,
+    c0=None,
+    obj=None,
+    rng=None,
+    train: bool = False,
+    with_cky: bool = False,
+):
+    """Bottom-up pass.  ``h0``: (B, n, D) normalized leaf vectors.
+
+    Returns (inside_h, inside_s, inside_c, cky_bp, cky_val).
+    """
+    B, n, D = h0.shape
+    NC = ncells(n)
+    offs = level_offsets(n)
+    use_c = cfg.arch == "treelstm"
+
+    inside_h = jnp.zeros((B, NC, D), jnp.float32).at[:, :n].set(h0)
+    inside_s = jnp.zeros((B, NC, 1), jnp.float32)
+    inside_c = None
+    if use_c:
+        c0 = jnp.zeros_like(h0) if c0 is None else c0
+        inside_c = jnp.zeros((B, NC, D), jnp.float32).at[:, :n].set(c0)
+
+    cky_val = jnp.ones((B, NC), jnp.float32) if with_cky else None
+    cky_bp = jnp.zeros((B, NC), jnp.int32) if with_cky else None
+
+    cp = dp["inside_compose"]
+    mat = dp["inside_score"]["mat"]
+
+    for level in range(1, n):
+        L, N = n - level, level
+        idx_l, idx_r = INDEX.inside(n, level)
+        lh = jnp.take(inside_h, idx_l, axis=1)      # (B, L*N, D)
+        rh = jnp.take(inside_h, idx_r, axis=1)
+        lc = jnp.take(inside_c, idx_l, axis=1) if use_c else None
+        rc = jnp.take(inside_c, idx_r, axis=1) if use_c else None
+
+        h, c = _compose(cfg, cp, lh, rh, lc, rc)
+
+        s_bil = bilinear(mat, lh, rh)                # (B, L*N)
+        ls = jnp.take(inside_s, idx_l, axis=1)[..., 0]
+        rs = jnp.take(inside_s, idx_r, axis=1)[..., 0]
+        s = (s_bil + ls + rs).reshape(B, L, N)
+        p = jax.nn.softmax(s, axis=-1)               # softmax over splits
+
+        h_agg = jnp.einsum("blnd,bln->bld", h.reshape(B, L, N, D), p)
+        s_agg = jnp.sum(s * p, axis=-1)              # (B, L)
+
+        h_agg = normalize(cfg.normalize, h_agg)
+        if cfg.use_obj:
+            # visual residual each level (reference: cliora.py:140-157)
+            lrng = jax.random.fold_in(rng, level) if rng is not None else None
+            cxt = region_attention(
+                h_agg, obj, temp=cfg.attn_temp,
+                dropout=cfg.attn_dropout, rng=lrng, train=train)
+            h_agg = normalize(cfg.normalize, h_agg + cxt)
+
+        off = int(offs[level])
+        inside_h = inside_h.at[:, off:off + L].set(h_agg)
+        inside_s = inside_s.at[:, off:off + L].set(s_agg[..., None])
+        if use_c:
+            c_agg = jnp.einsum("blnd,bln->bld", c.reshape(B, L, N, D), p)
+            c_agg = normalize(cfg.normalize, c_agg)
+            inside_c = inside_c.at[:, off:off + L].set(c_agg)
+
+        if with_cky:
+            s_norm = s - jnp.max(s, axis=-1, keepdims=True)
+            lv = jnp.take(cky_val, idx_l, axis=1).reshape(B, L, N)
+            rv = jnp.take(cky_val, idx_r, axis=1).reshape(B, L, N)
+            ps = lv + rv + s_norm
+            cky_val = cky_val.at[:, off:off + L].set(jnp.max(ps, axis=-1))
+            cky_bp = cky_bp.at[:, off:off + L].set(
+                jnp.argmax(ps, axis=-1).astype(jnp.int32))
+
+    return inside_h, inside_s, inside_c, cky_bp, cky_val
+
+
+def outside_pass(
+    cfg: ModelConfig,
+    dp,
+    inside_h,
+    inside_s,
+    inside_c=None,
+):
+    """Top-down pass mirroring :func:`inside_pass`.
+
+    Parent states come from the *outside* chart, sibling states from the
+    *inside* chart; compose input order is [sibling; parent] and the
+    derivation softmax runs over the N parent/sibling combinations
+    (reference: cliora/net/diora.py:152-200,337-376).
+    """
+    B, NC, D = inside_h.shape
+    # invert ncells = n(n+1)/2
+    n = int(round(((8 * NC + 1) ** 0.5 - 1) / 2))
+    assert ncells(n) == NC
+    offs = level_offsets(n)
+    use_c = cfg.arch == "treelstm"
+
+    cp = dp.get("outside_compose", dp["inside_compose"])
+    mat = dp.get("outside_score", dp["inside_score"])["mat"]
+
+    # Root initialization (reference: cliora/net/diora.py:337-356).
+    if cfg.compress:
+        root_h = inside_h[:, -1:] @ dp["root_mat_out"]
+    else:
+        root_h = jnp.broadcast_to(
+            dp["root_vector_out_h"].reshape(1, 1, D), (B, 1, D))
+    root_h = normalize(cfg.normalize, root_h)
+
+    outside_h = jnp.zeros((B, NC, D), jnp.float32).at[:, -1:].set(root_h)
+    outside_s = jnp.zeros((B, NC, 1), jnp.float32)
+    outside_c = jnp.zeros((B, NC, D), jnp.float32) if use_c else None
+
+    for level in range(n - 2, -1, -1):
+        L = n - level
+        N = L - 1
+        par_idx, sis_idx = INDEX.outside(n, level)
+        ph = jnp.take(outside_h, par_idx, axis=1)    # (B, N*L, D)
+        sh = jnp.take(inside_h, sis_idx, axis=1)
+        pc = jnp.take(outside_c, par_idx, axis=1) if use_c else None
+        sc = jnp.take(inside_c, sis_idx, axis=1) if use_c else None
+
+        h, c = _compose(cfg, cp, sh, ph, sc, pc)
+
+        s_bil = bilinear(mat, sh, ph)                # (B, N*L)
+        ps_ = jnp.take(outside_s, par_idx, axis=1)[..., 0]
+        ss_ = jnp.take(inside_s, sis_idx, axis=1)[..., 0]
+        s = (s_bil + ss_ + ps_).reshape(B, N, L)
+        p = jax.nn.softmax(s, axis=1)                # softmax over combos
+
+        h_agg = jnp.einsum("bnld,bnl->bld", h.reshape(B, N, L, D), p)
+        s_agg = jnp.sum(s * p, axis=1)               # (B, L)
+
+        h_agg = normalize(cfg.normalize, h_agg)
+
+        off = int(offs[level])
+        outside_h = outside_h.at[:, off:off + L].set(h_agg)
+        outside_s = outside_s.at[:, off:off + L].set(s_agg[..., None])
+        if use_c:
+            c_agg = jnp.einsum("bnld,bnl->bld", c.reshape(B, N, L, D), p)
+            c_agg = normalize(cfg.normalize, c_agg)
+            outside_c = outside_c.at[:, off:off + L].set(c_agg)
+
+    return outside_h, outside_s, outside_c
+
+
+def run_chart(
+    cfg: ModelConfig,
+    dp,
+    h0,
+    c0=None,
+    obj=None,
+    rng=None,
+    train: bool = False,
+    with_cky: bool = False,
+    outside: bool = True,
+) -> InsideOut:
+    inside_h, inside_s, inside_c, bp, val = inside_pass(
+        cfg, dp, h0, c0=c0, obj=obj, rng=rng, train=train, with_cky=with_cky)
+    outside_h = outside_s = outside_c = None
+    if outside:
+        outside_h, outside_s, outside_c = outside_pass(
+            cfg, dp, inside_h, inside_s, inside_c=inside_c)
+    return InsideOut(inside_h, inside_s, inside_c,
+                     outside_h, outside_s, outside_c, bp, val)

@@ -1,0 +1,150 @@
+"""Inside/outside pass parity vs. the independent numpy oracle, plus
+fused-CKY correctness vs. brute-force tree enumeration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cliora_tpu.chart.offsets import cell_index, level_offsets, ncells
+from cliora_tpu.models.config import ModelConfig
+from cliora_tpu.models.params import init_diora_params
+from cliora_tpu.ops.chart_pass import run_chart
+from cliora_tpu.ops.core import unit_norm
+from cliora_tpu.analysis.trees import bp_to_tree, tree_to_spans
+
+from oracle import (
+    oracle_best_tree,
+    oracle_inside,
+    oracle_leaf,
+    oracle_outside,
+)
+
+D = 16
+
+
+def make_params(cfg, seed=0):
+    return init_diora_params(jax.random.PRNGKey(seed), cfg)
+
+
+def to_np(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def chart_cells_to_spans(n, arr):
+    """(B, ncells, ...) array -> {span: (B, ...)} with exclusive spans."""
+    out = {}
+    for level in range(n):
+        for pos in range(n - level):
+            out[(pos, pos + level + 1)] = arr[:, int(cell_index(n, level, pos))]
+    return out
+
+
+@pytest.mark.parametrize("n,share,compress", [
+    (2, True, False), (5, True, False), (5, False, False),
+    (7, True, True), (9, True, False),
+])
+def test_inside_outside_matches_oracle(n, share, compress, rng):
+    cfg = ModelConfig(size=D, share=share, compress=compress)
+    dp = make_params(cfg)
+    dpn = to_np(dp)
+    B = 3
+    x = rng.randn(B, n, D).astype(np.float32)
+
+    h0 = oracle_leaf(dpn, x)
+    h_in, s_in, _ = oracle_inside(dpn, h0)
+    h_out, s_out = oracle_outside(
+        dpn, h_in, s_in, n,
+        root_vec=None if compress else dpn["root_vector_out_h"],
+        compress_mat=dpn.get("root_mat_out"))
+
+    # jax path: reuse the same leaf math
+    h0_j = unit_norm(jnp.tanh(
+        x @ dp["inside_compose"]["leaf_fc"]["w"].T
+        + dp["inside_compose"]["leaf_fc"]["b"]))
+    out = run_chart(cfg, dp, h0_j, outside=True)
+
+    got_h = chart_cells_to_spans(n, np.asarray(out.inside_h))
+    got_s = chart_cells_to_spans(n, np.asarray(out.inside_s)[..., 0])
+    for span in h_in:
+        np.testing.assert_allclose(got_h[span], h_in[span], atol=2e-5,
+                                   err_msg=f"inside_h {span}")
+        np.testing.assert_allclose(got_s[span], s_in[span], atol=2e-4,
+                                   err_msg=f"inside_s {span}")
+
+    got_oh = chart_cells_to_spans(n, np.asarray(out.outside_h))
+    got_os = chart_cells_to_spans(n, np.asarray(out.outside_s)[..., 0])
+    for span in h_out:
+        np.testing.assert_allclose(got_oh[span], h_out[span], atol=2e-5,
+                                   err_msg=f"outside_h {span}")
+        np.testing.assert_allclose(got_os[span], s_out[span], atol=2e-4,
+                                   err_msg=f"outside_s {span}")
+
+
+def test_cliora_inside_matches_oracle(rng):
+    n, B, R = 6, 2, 5
+    cfg = ModelConfig(size=D, use_obj=True)
+    dp = make_params(cfg)
+    dpn = to_np(dp)
+    x = rng.randn(B, n, D).astype(np.float32)
+    obj = rng.randn(B, R, D).astype(np.float32)
+
+    h0 = oracle_leaf(dpn, x, obj=obj)
+    h_in, s_in, _ = oracle_inside(dpn, h0, obj=obj)
+
+    from cliora_tpu.models.diora import leaf_transform
+    h0_j, _ = leaf_transform(cfg, dp, jnp.asarray(x), obj_span=jnp.asarray(obj),
+                             train=False)
+    np.testing.assert_allclose(np.asarray(h0_j), h0, atol=2e-5)
+    out = run_chart(cfg, dp, h0_j, obj=jnp.asarray(obj), train=False,
+                    outside=True)
+    got_h = chart_cells_to_spans(n, np.asarray(out.inside_h))
+    for span in h_in:
+        np.testing.assert_allclose(got_h[span], h_in[span], atol=2e-5,
+                                   err_msg=f"cliora inside_h {span}")
+
+
+@pytest.mark.parametrize("n", [3, 4, 5, 6])
+def test_fused_cky_matches_bruteforce(n, rng):
+    cfg = ModelConfig(size=D)
+    dp = make_params(cfg, seed=3)
+    dpn = to_np(dp)
+    B = 4
+    x = rng.randn(B, n, D).astype(np.float32)
+    h0 = oracle_leaf(dpn, x)
+    _, _, raw = oracle_inside(dpn, h0)
+
+    h0_j = unit_norm(jnp.tanh(
+        x @ dp["inside_compose"]["leaf_fc"]["w"].T
+        + dp["inside_compose"]["leaf_fc"]["b"]))
+    out = run_chart(cfg, dp, h0_j, with_cky=True, outside=False)
+    bp = np.asarray(out.cky_bp)
+    val = np.asarray(out.cky_val)
+
+    for b in range(B):
+        best_tree, best_score = oracle_best_tree(raw, n, b)
+        got_tree = bp_to_tree(n, bp[b])
+        assert tree_to_spans(got_tree) == tree_to_spans(best_tree), (
+            got_tree, best_tree)
+        np.testing.assert_allclose(val[b, -1], best_score, atol=1e-4)
+
+
+def test_treelstm_arch_runs(rng):
+    n, B = 5, 2
+    cfg = ModelConfig(size=D, arch="treelstm")
+    dp = make_params(cfg)
+    x = jnp.asarray(rng.randn(B, n, D).astype(np.float32))
+    from cliora_tpu.models.diora import leaf_transform
+    h0, c0 = leaf_transform(cfg, dp, x)
+    out = run_chart(cfg, dp, h0, c0=c0, outside=True)
+    assert out.inside_c is not None
+    assert np.isfinite(np.asarray(out.inside_h)).all()
+    assert np.isfinite(np.asarray(out.outside_h)).all()
+    # cell states actually carry signal (unlike the zero "c" of mlp arch)
+    offs = level_offsets(n)
+    assert np.abs(np.asarray(out.inside_c)[:, offs[1]:]).sum() > 0
+
+
+def test_root_cell_convention():
+    n = 6
+    assert int(cell_index(n, n - 1, 0)) == ncells(n) - 1
