@@ -1,0 +1,235 @@
+"""Training engine: loss assembly, optax update, jitted train/eval steps.
+
+The reference's ``Net``/``Trainer`` (cliora/net/trainer.py:227-501) become
+pure functions closed over two frozen configs:
+
+  * :class:`ModelConfig` -- architecture (models/config.py);
+  * :class:`TrainConfig` -- optimization + loss switches.
+
+One jitted ``train_step`` handles any (batch, length) shape pair; XLA
+retraces per shape bucket, which the same-length batcher keeps bounded
+(reference's shape discipline, cliora/data/dataloader.py:11-113).
+Gradients of frozen parameters are zeroed before the global-norm clip so
+the clip norm matches torch's clip-over-trainable-params semantics
+(reference: cliora/net/trainer.py:450-455), and Adam state is only
+allocated for trainable leaves (optax.masked).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cliora_tpu.models.config import ModelConfig
+from cliora_tpu.models.diora import (
+    diora_forward,
+    embed_forward,
+    image_encoder_forward,
+)
+from cliora_tpu.models.params import init_params
+from cliora_tpu.training.losses import (
+    contrastive_loss,
+    reconstruction_loss,
+    vg_loss,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer + loss configuration.
+
+    (reference flags: cliora/scripts/train.py:337-401; optimizer:
+    cliora/net/trainer.py:580)
+    """
+    lr: float = 5e-4
+    grad_clip: float = 5.0
+    k_neg: int = 100
+    emb_trainable: bool = False     # --emb none and not finetuning
+    vg_loss: bool = False           # --vg_loss
+    alpha_vg: float = 1.0
+    use_contr: bool = False         # --obj_feats --use_contr
+    alpha_contr: float = 1.0
+    vl_margin: float = 0.2          # --vl_margin (hinge margin)
+    freeze: str = "none"            # 'none' | 'diora' | 'except_vis'
+
+    def __post_init__(self):
+        assert self.freeze in ("none", "diora", "except_vis"), self.freeze
+
+
+def trainable_mask(tc: TrainConfig, params) -> Any:
+    """Pytree of bools mirroring torch ``requires_grad``.
+
+    (reference: cliora/net/trainer.py:351-358 freeze_diora /
+    freeze_except_vis; embedding freeze: trainer.py:536-546)
+    """
+    def decide(path) -> bool:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if tc.freeze == "except_vis":
+            return any("_vis" in k for k in keys)
+        if "embeddings" in keys:
+            return tc.emb_trainable
+        if tc.freeze == "diora" and keys[0] == "diora":
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: decide(p), params)
+
+
+def compute_losses(
+    cfg: ModelConfig,
+    tc: TrainConfig,
+    params,
+    tokens,
+    neg_samples,
+    obj_feats=None,
+    rng=None,
+    train: bool = True,
+):
+    """Forward + all enabled losses.
+
+    Returns (total_loss, metrics_dict).  Mirrors Net.forward +
+    compute_loss (reference: cliora/net/trainer.py:243-304).
+    """
+    x_span, x_word = embed_forward(
+        params["embed"], tokens, trainable=tc.emb_trainable)
+    obj_span = obj_word = None
+    if cfg.use_obj:
+        obj_span, obj_word = image_encoder_forward(
+            params["img_encoder"], obj_feats)
+
+    need_all_atten = cfg.use_obj and (tc.use_contr or not train)
+    out = diora_forward(
+        cfg, params, x_span, x_word, obj_span=obj_span, obj_word=obj_word,
+        rng=rng, train=train, with_all_atten=need_all_atten)
+
+    metrics: Dict[str, jax.Array] = {}
+    recon = reconstruction_loss(
+        params["reconstruct"], params["embed"]["embeddings"], tokens,
+        neg_samples, out.chart.outside_h)
+    metrics["reconstruction_softmax_loss"] = recon
+    total = recon
+
+    if tc.vg_loss and cfg.use_obj:
+        vgl = vg_loss(out.vg_atten_score, alpha_vg=tc.alpha_vg)
+        metrics["vg_loss"] = vgl
+        total = total + vgl
+    if tc.use_contr and cfg.use_obj:
+        ctr = contrastive_loss(
+            out.chart.inside_s, out.chart.outside_s, out.all_atten_score,
+            margin=tc.vl_margin, alpha_contr=tc.alpha_contr)
+        metrics["contrastive_loss"] = ctr
+        total = total + ctr
+
+    metrics["total_loss"] = total
+    return total, metrics
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(tc: TrainConfig, mask):
+    """clip(5.0) -> Adam(lr, (0.9, 0.999), 1e-8), trainable leaves only."""
+    return optax.chain(
+        optax.clip_by_global_norm(tc.grad_clip),
+        optax.masked(
+            optax.adam(tc.lr, b1=0.9, b2=0.999, eps=1e-8), mask),
+    )
+
+
+class Trainer:
+    """Owns params/optimizer state and the jitted step functions.
+
+    (reference: cliora/net/trainer.py:337-501 ``Trainer``; here steps are
+    pure jitted functions and state is explicit)
+    """
+
+    def __init__(self, cfg: ModelConfig, tc: TrainConfig, params):
+        self.cfg = cfg
+        self.tc = tc
+        self.mask = trainable_mask(tc, params)
+        self.tx = make_optimizer(tc, self.mask)
+        self.state = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        mask_flat = self.mask
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def train_step(state: TrainState, tokens, neg_samples, obj_feats,
+                       rng) -> tuple:
+            def loss_fn(p):
+                return compute_losses(
+                    cfg, tc, p, tokens, neg_samples, obj_feats=obj_feats,
+                    rng=rng, train=True)
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+            grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g),
+                grads, mask_flat)
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        @jax.jit
+        def eval_step(params, tokens, neg_samples, obj_feats):
+            total, metrics = compute_losses(
+                cfg, tc, params, tokens, neg_samples, obj_feats=obj_feats,
+                rng=None, train=False)
+            return metrics
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    @classmethod
+    def build(cls, cfg: ModelConfig, tc: TrainConfig, embeddings,
+              seed: int = 0) -> "Trainer":
+        """(reference: cliora/net/trainer.py:504-582 ``build_net``)"""
+        params = init_params(jax.random.PRNGKey(seed), cfg, embeddings)
+        return cls(cfg, tc, params)
+
+    @property
+    def params(self):
+        return self.state.params
+
+    def step(self, batch_map: Dict[str, Any], train: bool = True,
+             rng: Optional[jax.Array] = None):
+        """One optimization (or eval) step from a host-side batch_map.
+
+        batch_map: {'sentences': (B, L) int, 'neg_samples': (k,) int,
+                    'obj_feats': (B, R, F) float or None}
+        Returns metrics dict of python floats.
+        """
+        tokens = jnp.asarray(batch_map["sentences"])
+        neg = jnp.asarray(batch_map["neg_samples"])
+        obj = batch_map.get("obj_feats")
+        obj = jnp.asarray(obj) if obj is not None else None
+        if train:
+            if rng is None:
+                rng = jax.random.PRNGKey(int(self.state.step))
+            self.state, metrics = self._train_step(
+                self.state, tokens, neg, obj, rng)
+        else:
+            metrics = self._eval_step(self.params, tokens, neg, obj)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def parameter_norm(self, trainable_only: bool = True) -> float:
+        """Sum of per-parameter L2 norms (reference: trainer.py:360-367)."""
+        total = 0.0
+        leaves = jax.tree.leaves(self.params)
+        masks = jax.tree.leaves(self.mask)
+        for p, m in zip(leaves, masks):
+            if trainable_only and not m:
+                continue
+            total += float(jnp.linalg.norm(p.reshape(-1)))
+        return total

@@ -148,3 +148,53 @@ def oracle_best_tree(raw_scores, n, b):
 
     trees = enumerate_trees(0, n)
     return max(trees, key=lambda t: t[1])
+
+
+# ---- loss oracles (independent numpy re-derivations of the reference
+# loss math, cliora/net/trainer.py:25-171) ----
+
+
+def oracle_recon_loss(mat, table, tokens, neg, outside_h_leaves):
+    """mat: (D,E); table: (V,E); tokens: (B,L); neg: (k,);
+    outside_h_leaves: (B,L,D)."""
+    B, L = tokens.shape
+    losses = []
+    for b in range(B):
+        for l in range(L):
+            cell = outside_h_leaves[b, l]
+            pos = table[tokens[b, l]] @ mat.T @ cell
+            negs = [table[w] @ mat.T @ cell for w in neg]
+            logits = np.array([pos] + negs)
+            logits = logits - logits.max()
+            losses.append(-(logits[0] - np.log(np.exp(logits).sum())))
+    return float(np.mean(losses))
+
+
+def oracle_vg_loss(vg_atten, alpha):
+    """vg_atten: (B,B,L,R)."""
+    B, _, L, _ = vg_atten.shape
+    logits = vg_atten.max(-1).sum(-1) / L   # (B,B)
+    losses = []
+    for i in range(B):
+        row = logits[i] - logits[i].max()
+        losses.append(-(row[i] - np.log(np.exp(row).sum())))
+    return float(alpha * np.mean(losses))
+
+
+def oracle_contrastive_loss(inside_s, outside_s, all_atten, margin, alpha):
+    """inside_s/outside_s: (B,NC); all_atten: (B,B,NC,R)."""
+    B, NC = inside_s.shape
+    scores = all_atten.max(-1)              # (B,B,NC)
+    vl = np.zeros((B, NC))
+    for s in range(NC):
+        m = scores[:, :, s]                 # text x image
+        for i in range(B):
+            # text->image: images j vs own image i
+            lt = [max(margin + m[i, j] - m[i, i], 1e-8)
+                  for j in range(B) if j != i]
+            # image->text: texts j vs own text i (for image i)
+            li = [max(margin + m[j, i] - m[i, i], 1e-8)
+                  for j in range(B) if j != i]
+            vl[i, s] = np.sum(lt) / B + np.sum(li) / B
+    margs = np.exp(inside_s + outside_s - inside_s[:, -1:])
+    return float(alpha * np.mean((margs * vl)[:, : NC // 2].sum(-1)))
