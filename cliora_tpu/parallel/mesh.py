@@ -1,0 +1,66 @@
+"""Multi-chip data parallelism over a jax.sharding.Mesh.
+
+The reference's only parallelism is 1-GPU-per-rank DDP with NCCL gradient
+allreduce and per-rank batch chunking in the collate fn (reference:
+cliora/net/trainer.py:528-575, cliora/data/batch_iterator.py:53-66).  The
+TPU-native equivalent is one ``dp`` mesh axis: the batch is sharded over
+``dp``, parameters/optimizer state are replicated, and the gradient
+all-reduce is inserted by XLA (riding ICI) because the loss is a mean over
+the globally-sharded batch -- no hand-written collectives.
+
+Host-feed contract: each process feeds its local shard
+(``jax.process_index()``-based), mirroring the reference's rank chunking;
+single-process multi-device (the common TPU pod-slice case) just
+``device_put``s the global batch with a ``P('dp')`` sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP_AXIS = "dp"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DP_AXIS) -> Mesh:
+    """1-D device mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        assert n_devices <= len(devs), (n_devices, len(devs))
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard axis 0 (batch) over dp; replicate the rest."""
+    return NamedSharding(mesh, P(DP_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a host batch pytree with batch-axis sharding.
+
+    Arrays whose leading dim isn't divisible by the mesh (e.g. the shared
+    ``(k,)`` negative-sample vector) are replicated.
+    """
+    n = mesh.devices.size
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
+            return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, tree)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Replicate parameters / optimizer state across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -152,9 +152,10 @@ class Trainer:
     pure jitted functions and state is explicit)
     """
 
-    def __init__(self, cfg: ModelConfig, tc: TrainConfig, params):
+    def __init__(self, cfg: ModelConfig, tc: TrainConfig, params, mesh=None):
         self.cfg = cfg
         self.tc = tc
+        self.mesh = mesh
         self.mask = trainable_mask(tc, params)
         self.tx = make_optimizer(tc, self.mask)
         self.state = TrainState(
@@ -162,6 +163,9 @@ class Trainer:
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
         )
+        if mesh is not None:
+            from cliora_tpu.parallel.mesh import replicate_tree
+            self.state = replicate_tree(mesh, self.state)
         mask_flat = self.mask
 
         @functools.partial(jax.jit, donate_argnums=0)
@@ -193,10 +197,10 @@ class Trainer:
 
     @classmethod
     def build(cls, cfg: ModelConfig, tc: TrainConfig, embeddings,
-              seed: int = 0) -> "Trainer":
+              seed: int = 0, mesh=None) -> "Trainer":
         """(reference: cliora/net/trainer.py:504-582 ``build_net``)"""
         params = init_params(jax.random.PRNGKey(seed), cfg, embeddings)
-        return cls(cfg, tc, params)
+        return cls(cfg, tc, params, mesh=mesh)
 
     @property
     def params(self):
@@ -210,10 +214,20 @@ class Trainer:
                     'obj_feats': (B, R, F) float or None}
         Returns metrics dict of python floats.
         """
-        tokens = jnp.asarray(batch_map["sentences"])
-        neg = jnp.asarray(batch_map["neg_samples"])
-        obj = batch_map.get("obj_feats")
-        obj = jnp.asarray(obj) if obj is not None else None
+        if self.mesh is not None:
+            from cliora_tpu.parallel.mesh import shard_batch
+            sharded = shard_batch(self.mesh, {
+                k: batch_map[k]
+                for k in ("sentences", "neg_samples", "obj_feats")
+                if batch_map.get(k) is not None})
+            tokens = sharded["sentences"]
+            neg = sharded["neg_samples"]
+            obj = sharded.get("obj_feats")
+        else:
+            tokens = jnp.asarray(batch_map["sentences"])
+            neg = jnp.asarray(batch_map["neg_samples"])
+            obj = batch_map.get("obj_feats")
+            obj = jnp.asarray(obj) if obj is not None else None
         if train:
             if rng is None:
                 rng = jax.random.PRNGKey(int(self.state.step))
