@@ -1,0 +1,184 @@
+"""Same-length batching and the batch iterator.
+
+Exact same-length batching is the core trick that keeps charts dense and
+shapes static -- one compiled XLA program per sentence length
+(reference: cliora/data/dataloader.py:11-113).  The iterator is plain
+python/numpy (no torch DataLoader): per-example feature fetch happens in a
+background prefetch thread so host I/O overlaps device compute, and
+multi-host feeding chunks each batch by process index, mirroring the
+reference's per-rank chunking (cliora/data/batch_iterator.py:53-66).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+from cliora_tpu.data.sampler import NegativeSampler
+
+
+class FixedLengthBatchSampler:
+    """Yields lists of example indices, all of identical token length.
+
+    (reference: cliora/data/dataloader.py:11-113; same bucketing, shuffle,
+    surplus and length_to_size semantics)
+    """
+
+    def __init__(self, lengths, batch_size, include_partial=False, rng=None,
+                 maxlen=None, length_to_size=None):
+        self.lengths = list(lengths)
+        self.batch_size = batch_size
+        self.include_partial = include_partial
+        self.rng = rng if rng is not None else np.random.RandomState(11)
+        self.maxlen = maxlen
+        self.length_to_size = length_to_size
+        self._batch_size_cache = {0: batch_size}
+
+    def get_batch_size(self, length: int) -> int:
+        if self.length_to_size is None:
+            return self.batch_size
+        if length in self._batch_size_cache:
+            return self._batch_size_cache[length]
+        start = max(self._batch_size_cache.keys())
+        size = self._batch_size_cache[start]
+        for n in range(start + 1, length + 1):
+            size = self.length_to_size.get(n, size)
+            self._batch_size_cache[n] = size
+        return size
+
+    def __iter__(self):
+        length_map: Dict[int, list] = {}
+        for i, length in enumerate(self.lengths):
+            if self.maxlen and length > self.maxlen:
+                continue
+            length_map.setdefault(length, []).append(i)
+        for arr in length_map.values():
+            self.rng.shuffle(arr)
+
+        order = []
+        position = {length: 0 for length in length_map}
+        for length, arr in length_map.items():
+            size = self.get_batch_size(length)
+            order += [length] * (len(arr) // size)
+            if self.include_partial and len(arr) % size:
+                order += [length]
+        self.rng.shuffle(order)
+
+        for length in order:
+            size = self.get_batch_size(length)
+            start = position[length]
+            position[length] = start + size
+            yield length_map[length][start:start + size]
+
+
+class BatchIterator:
+    """Assembles batch_maps from a dataset + sampler.
+
+    batch_map keys: sentences (B, L) int32, neg_samples (k,) int64,
+    batch_size, length, obj_feats, boxes, obj_cates, plus every per-example
+    ``extra`` list indexed by the batch.
+    (reference: cliora/data/batch_iterator.py:44-184)
+    """
+
+    def __init__(self, dataset, extra=None, negative_sampler: Optional[
+            NegativeSampler] = None, k_neg: int = 100, batch_size: int = 16,
+            include_partial: bool = False, filter_length: Optional[int] = None,
+            length_to_size=None, process_index: int = 0,
+            process_count: int = 1, prefetch: int = 4):
+        self.dataset = dataset
+        self.extra = extra or {}
+        self.negative_sampler = negative_sampler
+        self.k_neg = k_neg
+        self.batch_size = batch_size
+        self.include_partial = include_partial
+        self.filter_length = filter_length
+        self.length_to_size = length_to_size
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        self.word2idx = None  # set by make_batch_iterator
+
+    # -- reference-parity introspection helpers (batch_iterator.py:68-80) --
+    def get_dataset_size(self):
+        return len(self.dataset)
+
+    def get_dataset_minlen(self):
+        return min(len(self.dataset[i][1]) for i in range(len(self.dataset)))
+
+    def get_dataset_maxlen(self):
+        return max(len(self.dataset[i][1]) for i in range(len(self.dataset)))
+
+    def get_dataset_stats(self):
+        return (f"size={self.get_dataset_size()} "
+                f"minlen={self.get_dataset_minlen()} "
+                f"maxlen={self.get_dataset_maxlen()}")
+
+    def _assemble(self, batch_index):
+        rows = [self.dataset[i] for i in batch_index]
+        index, sents, obj_feats, boxes, obj_cates = zip(*rows)
+        batch_map = {
+            "index": list(index),
+            "sentences": np.asarray(sents, dtype=np.int32),
+            "obj_feats": np.asarray(obj_feats),
+            "boxes": np.asarray(boxes),
+            "obj_cates": np.asarray(obj_cates),
+        }
+        for k, v in self.extra.items():
+            batch_map[k] = [v[i] for i in index]
+
+        if self.process_count > 1:
+            # per-host chunk along batch dim (reference rank chunking)
+            for k, v in batch_map.items():
+                parts = np.array_split(
+                    np.arange(len(v)), self.process_count)
+                keep = parts[self.process_index]
+                if isinstance(v, np.ndarray):
+                    batch_map[k] = v[keep]
+                else:
+                    batch_map[k] = [v[i] for i in keep]
+
+        B, L = batch_map["sentences"].shape
+        batch_map["batch_size"] = B
+        batch_map["length"] = L
+        if self.negative_sampler is not None:
+            batch_map["neg_samples"] = self.negative_sampler.sample(
+                self.k_neg)
+        return batch_map
+
+    def get_iterator(self, random_seed=None, **kwargs):
+        batch_size = kwargs.get("batch_size", self.batch_size)
+        rng = np.random.RandomState(random_seed)
+        lengths = [len(self.dataset[i][1])
+                   for i in range(len(self.dataset))]
+        sampler = FixedLengthBatchSampler(
+            lengths, batch_size=batch_size, rng=rng,
+            maxlen=self.filter_length,
+            include_partial=kwargs.get("include_partial",
+                                       self.include_partial),
+            length_to_size=self.length_to_size)
+
+        if self.prefetch <= 0:
+            for batch_index in sampler:
+                yield self._assemble(batch_index)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _DONE = object()
+
+        def producer():
+            try:
+                for batch_index in sampler:
+                    q.put(self._assemble(batch_index))
+            finally:
+                q.put(_DONE)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _DONE:
+                break
+            yield item
