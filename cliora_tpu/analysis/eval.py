@@ -1,0 +1,65 @@
+"""Validation-loop evaluation: parse F1 + phrase grounding.
+
+(reference: cliora/scripts/train.py:119-219 ``run_eval``)
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from cliora_tpu.analysis.grounding import GroundingMeter, ground_phrases
+from cliora_tpu.analysis.trees import F1Meter, bp_to_tree, tree_to_spans
+
+
+def eval_batch_trees(bp: np.ndarray, length: int):
+    """Backpointer rows -> (tree, pred_span_set) per example; the root span
+    is dropped for F1, as the reference does
+    (scripts/train.py:187-189)."""
+    out = []
+    for row in bp:
+        tree = bp_to_tree(length, row)
+        spans = set(tree_to_spans(tree)[:-1])
+        out.append((tree, spans))
+    return out
+
+
+def run_eval(trainer, iterator, seed: int = 11,
+             use_obj: bool = False) -> Dict[str, float]:
+    """corpus_f1 / sent_f1 / grounding recall over a validation iterator.
+
+    Sentences of length <= 2 are skipped, matching the reference
+    (scripts/train.py:153-154).
+    """
+    f1 = F1Meter()
+    grounding = GroundingMeter()
+
+    for batch_map in iterator.get_iterator(random_seed=seed):
+        length = batch_map["length"]
+        if length <= 2:
+            continue
+        res, _ = trainer.parse(batch_map, compute_loss=False,
+                               outside=use_obj)
+
+        if use_obj and "atten_score" in res:
+            targets = batch_map["VG_GT"]
+            boxes = np.asarray(batch_map["boxes"])
+            for bid in range(len(targets)):
+                phrases, _noun_mask = targets[bid]
+                if not phrases:
+                    continue
+                ground_res = ground_phrases(
+                    res["atten_score"][bid], boxes[bid], phrases)
+                grounding.update(ground_res)
+
+        for bid, (tree, pred_spans) in enumerate(
+                eval_batch_trees(res["cky_bp"], length)):
+            gold_spans = set(batch_map["GT"][bid][:-1])
+            f1.update(pred_spans, gold_spans)
+
+    return {
+        "corpus_f1": f1.corpus_f1,
+        "sent_f1": f1.sent_f1,
+        "grounding_acc": grounding.recall,
+    }

@@ -77,20 +77,22 @@ class FlickrDataset:
             self.features = np.array(h5.get("features"))
             self.predicted_boxes = np.array(h5.get("bboxes"))
             self.indexes = np.array(h5.get("pos_bboxes"))
+        self.n_boxes = N_BOXES
+        self.feat_dim = int(self.features.shape[1])  # 2048 for real MAF
 
     def __getitem__(self, index):
         tokens = self.dataset[index]
         img_id = self.img_ids[index]
         row = self.imgid2idx[int(img_id)]
         start, end = self.indexes[row]
-        num_box = min(end - start, N_BOXES)
+        num_box = min(end - start, self.n_boxes)
 
-        boxes = np.full((N_BOXES, 4), -1, np.float32)
+        boxes = np.full((self.n_boxes, 4), -1, np.float32)
         boxes[:num_box] = self.predicted_boxes[start:end][:num_box]
-        obj_feats = np.zeros((N_BOXES, FEAT_DIM), np.float32)
+        obj_feats = np.zeros((self.n_boxes, self.feat_dim), np.float32)
         obj_feats[:num_box] = self.features[start:end][:num_box]
-        obj_cates = np.full((N_BOXES,), -1, np.int32)
-        classes = self.detection_dict[img_id]["classes"]
+        obj_cates = np.full((self.n_boxes,), -1, np.int32)
+        classes = self.detection_dict[str(img_id)]["classes"]
         obj_cates[:num_box] = np.asarray(
             [self.obj2ind.get(c, -1) for c in classes],
             np.int32)[:num_box]

@@ -40,6 +40,11 @@ class NegativeSampler:
         self.rng.seed(seed)
 
     def sample(self, num_samples: int) -> np.ndarray:
-        """``num_samples`` distinct word ids, int64."""
+        """``num_samples`` distinct word ids, int64.
+
+        Clamped to the vocab size so tiny smoke-test vocabs don't fault
+        (real corpora always have vocab >> k_neg).
+        """
+        num_samples = min(num_samples, len(self.dist))
         return self.rng.choice(len(self.dist), num_samples, p=self.dist,
                                replace=False)

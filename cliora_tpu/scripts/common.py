@@ -1,0 +1,127 @@
+"""Shared CLI plumbing: options -> configs -> Trainer, dataset loading.
+
+(reference: cliora/scripts/train.py:31-45,222-254 + cliora/net/trainer.py
+``build_net``)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cliora_tpu.data.dataset import (
+    ConsolidateDatasets,
+    ReconstructDataset,
+    make_batch_iterator,
+)
+from cliora_tpu.models.config import ModelConfig
+from cliora_tpu.models.params import param_count
+from cliora_tpu.training.checkpoint import import_torch_checkpoint, load_params
+from cliora_tpu.training.trainer import TrainConfig, Trainer
+from cliora_tpu.utils.observability import get_logger
+
+
+def model_config_from_options(options, embeddings) -> ModelConfig:
+    if isinstance(embeddings, (int, np.integer)):
+        input_size = 1024       # trainable table width (--emb none)
+    else:
+        input_size = int(np.asarray(embeddings).shape[1])
+    return ModelConfig(
+        size=options.hidden_dim,
+        input_size=input_size,
+        arch=options.arch,
+        share=options.share,
+        normalize=options.normalize,
+        compress=options.compress,
+        use_obj=options.obj_feats,
+        compute_dtype="bfloat16" if getattr(options, "bf16", False)
+        else "float32",
+    )
+
+
+def train_config_from_options(options) -> TrainConfig:
+    # embeddings trainable only for --emb none text-only pretraining;
+    # frozen during CLIORA finetune (reference: trainer.py:536-546)
+    emb_trainable = options.emb == "none" and not options.obj_feats
+    return TrainConfig(
+        lr=options.lr,
+        k_neg=options.k_neg,
+        emb_trainable=emb_trainable,
+        vg_loss=options.vg_loss,
+        alpha_vg=options.alpha_vg,
+        use_contr=options.use_contr,
+        alpha_contr=options.alpha_contr,
+        vl_margin=options.vl_margin,
+    )
+
+
+def build_trainer(options, embeddings, mesh=None) -> Trainer:
+    logger = get_logger()
+    cfg = model_config_from_options(options, embeddings)
+    tc = train_config_from_options(options)
+    if isinstance(embeddings, np.ndarray):
+        emb_arg = embeddings
+    else:
+        emb_arg = embeddings  # int vocab size
+    trainer = Trainer.build(cfg, tc, emb_arg, seed=options.seed, mesh=mesh)
+
+    if options.load_model_path:
+        logger.info(f"Loading model: {options.load_model_path}")
+        template = trainer.state.params
+        load_embeddings = options.emb == "none"
+        if options.load_model_path.endswith((".pt", ".pth")):
+            params, missing = import_torch_checkpoint(
+                options.load_model_path, template,
+                load_embeddings=load_embeddings)
+        else:
+            params, missing = load_params(options.load_model_path, template)
+        for k in missing:
+            logger.info(f"Not initialized from checkpoint: {k}")
+        trainer.state = trainer.state._replace(params=params)
+        if mesh is not None:
+            from cliora_tpu.parallel.mesh import replicate_tree
+            trainer.state = replicate_tree(mesh, trainer.state)
+
+    logger.info(f"# of params = {param_count(trainer.params)}")
+    return trainer
+
+
+def get_train_dataset(options):
+    return ReconstructDataset().initialize(
+        options, text_path=options.train_path,
+        embeddings_path=options.embeddings_path,
+        filter_length=options.train_filter_length,
+        data_type=options.train_data_type)
+
+
+def get_validation_dataset(options):
+    return ReconstructDataset().initialize(
+        options, text_path=options.validation_path,
+        embeddings_path=options.embeddings_path,
+        filter_length=options.validation_filter_length,
+        data_type=options.validation_data_type)
+
+
+def get_train_iterator(options, dataset):
+    return make_batch_iterator(
+        options, dataset, include_partial=False,
+        filter_length=options.train_filter_length,
+        batch_size=options.batch_size,
+        length_to_size=options.length_to_size, mode="train",
+        data_path=getattr(options, "data_path", None))
+
+
+def get_validation_iterator(options, dataset):
+    return make_batch_iterator(
+        options, dataset, include_partial=True,
+        filter_length=options.validation_filter_length,
+        batch_size=options.validation_batch_size,
+        length_to_size=options.length_to_size, mode="test",
+        data_path=getattr(options, "data_path", None))
+
+
+def get_train_and_validation(options):
+    train_dataset = get_train_dataset(options)
+    validation_dataset = get_validation_dataset(options)
+    if options.data_type not in ("coco", "flickr"):
+        ConsolidateDatasets([train_dataset, validation_dataset]).run()
+    return train_dataset, validation_dataset

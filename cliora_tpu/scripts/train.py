@@ -1,0 +1,147 @@
+"""Training entry point.
+
+Usage mirrors the reference driver scripts (reference:
+cliora/scripts/train.py, train_diora.sh, train_cliora.sh), e.g.::
+
+    python -m cliora_tpu.scripts.train \
+        --data_type flickr --emb skip \
+        --train_path flickr_data/flickr_train.json \
+        --validation_path flickr_data/flickr_test.json \
+        --embeddings_path skip_thoughts_dict.pkl \
+        --batch_size 32 --hidden_dim 400 --k_neg 100 --lr 5e-4 \
+        --max_epoch 30 --train_filter_length 40
+
+Multi-chip: data-parallel over all local devices by default
+(``--n_devices`` to restrict); no torch.distributed.launch equivalent is
+needed.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import jax
+import numpy as np
+
+from cliora_tpu.analysis.eval import run_eval
+from cliora_tpu.parallel.mesh import make_mesh
+from cliora_tpu.scripts.common import (
+    build_trainer,
+    get_train_and_validation,
+    get_train_iterator,
+    get_validation_iterator,
+)
+from cliora_tpu.training.checkpoint import (
+    export_torch_checkpoint,
+    save_opt_state,
+    save_params,
+)
+from cliora_tpu.utils.checkpoint import save_experiment
+from cliora_tpu.utils.flags import (
+    argument_parser,
+    parse_args,
+    save_flags,
+    stringify_flags,
+)
+from cliora_tpu.utils.observability import (
+    ExperimentLogger,
+    configure_experiment,
+    get_logger,
+)
+
+
+def generate_seeds(n, seed=11):
+    """(reference: cliora/scripts/train.py:42-45)"""
+    random.seed(seed)
+    return [random.randint(0, 2 ** 16) for _ in range(n)]
+
+
+def run_train(options, train_iterator, trainer, validation_iterator):
+    logger = get_logger()
+    experiment_logger = ExperimentLogger()
+    save_emb = options.emb == "none"
+    is_chief = jax.process_index() == 0
+
+    seeds = generate_seeds(options.max_epoch, options.seed)
+    step = 0
+    best_f1 = 0.0
+
+    for epoch, seed in zip(range(options.max_epoch), seeds):
+        logger.info(f"epoch={epoch} seed={seed}")
+        for batch_map in train_iterator.get_iterator(random_seed=seed):
+            if batch_map["length"] <= 2:
+                continue
+            result = trainer.step(batch_map)
+            result["length"] = batch_map["length"]
+            result["batch_size"] = batch_map["batch_size"]
+            experiment_logger.record(result)
+            if step % options.log_every_batch == 0:
+                experiment_logger.log_batch(
+                    epoch, step, step, batch_size=options.batch_size)
+            step += 1
+            if options.max_step is not None and step >= options.max_step:
+                break
+
+        experiment_logger.log_epoch(epoch, step)
+
+        if is_chief:
+            base = os.path.join(options.experiment_path,
+                                f"model.epoch_{epoch}")
+            save_params(base + ".npz", trainer.params,
+                        save_embeddings=save_emb)
+            export_torch_checkpoint(base + ".pt", trainer.params,
+                                    save_embeddings=save_emb)
+            save_opt_state(base + ".opt.pkl", trainer.state.opt_state)
+            save_experiment(
+                os.path.join(options.experiment_path,
+                             f"experiment.epoch_{epoch}.json"), step)
+
+            metrics = run_eval(trainer, validation_iterator,
+                               seed=options.seed,
+                               use_obj=options.obj_feats)
+            corpus_f1 = metrics["corpus_f1"]
+            best_f1 = max(best_f1, corpus_f1)
+            logger.info(
+                f"epoch={epoch} corpus_f1={corpus_f1:.4f} "
+                f"sent_f1={metrics['sent_f1']:.4f} "
+                f"grounding_acc={metrics['grounding_acc']:.4f} "
+                f"best_f1={best_f1:.4f}")
+
+        if options.max_step is not None and step >= options.max_step:
+            logger.info(f"Max-Step={options.max_step} Quitting.")
+            return
+
+
+def run(options):
+    logger = get_logger()
+    train_dataset, validation_dataset = get_train_and_validation(options)
+    if options.debug:
+        train_iterator = get_validation_iterator(options,
+                                                 validation_dataset)
+    else:
+        train_iterator = get_train_iterator(options, train_dataset)
+    validation_iterator = get_validation_iterator(options,
+                                                  validation_dataset)
+    embeddings = train_dataset["embeddings"]
+
+    logger.info("Initializing model.")
+    n_dev = options.n_devices or jax.local_device_count()
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    trainer = build_trainer(options, embeddings, mesh=mesh)
+
+    run_train(options, train_iterator, trainer, validation_iterator)
+
+
+def main(args=None):
+    options = parse_args(argument_parser(), args)
+    configure_experiment(options.experiment_path,
+                         rank=jax.process_index() or None)
+    logger = get_logger()
+    logger.info(stringify_flags(options))
+    save_flags(options, options.experiment_path)
+    run(options)
+
+
+if __name__ == "__main__":
+    main()

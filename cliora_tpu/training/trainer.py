@@ -81,33 +81,38 @@ def trainable_mask(tc: TrainConfig, params) -> Any:
     return jax.tree_util.tree_map_with_path(lambda p, _: decide(p), params)
 
 
-def compute_losses(
+def forward_outputs(
     cfg: ModelConfig,
     tc: TrainConfig,
     params,
     tokens,
-    neg_samples,
     obj_feats=None,
     rng=None,
     train: bool = True,
+    with_cky: bool = False,
+    outside=None,
 ):
-    """Forward + all enabled losses.
-
-    Returns (total_loss, metrics_dict).  Mirrors Net.forward +
-    compute_loss (reference: cliora/net/trainer.py:243-304).
-    """
+    """Embed -> image-encode -> diora forward (reference: Net.forward,
+    cliora/net/trainer.py:272-304)."""
     x_span, x_word = embed_forward(
         params["embed"], tokens, trainable=tc.emb_trainable)
     obj_span = obj_word = None
     if cfg.use_obj:
         obj_span, obj_word = image_encoder_forward(
             params["img_encoder"], obj_feats)
-
     need_all_atten = cfg.use_obj and (tc.use_contr or not train)
-    out = diora_forward(
+    return diora_forward(
         cfg, params, x_span, x_word, obj_span=obj_span, obj_word=obj_word,
-        rng=rng, train=train, with_all_atten=need_all_atten)
+        rng=rng, train=train, with_cky=with_cky, outside=outside,
+        with_all_atten=need_all_atten)
 
+
+def losses_from(cfg: ModelConfig, tc: TrainConfig, params, tokens,
+                neg_samples, out) -> Dict[str, jax.Array]:
+    """All enabled losses from forward outputs.
+
+    (reference: Net.compute_loss, cliora/net/trainer.py:243-270)
+    """
     metrics: Dict[str, jax.Array] = {}
     recon = reconstruction_loss(
         params["reconstruct"], params["embed"]["embeddings"], tokens,
@@ -127,7 +132,24 @@ def compute_losses(
         total = total + ctr
 
     metrics["total_loss"] = total
-    return total, metrics
+    return metrics
+
+
+def compute_losses(
+    cfg: ModelConfig,
+    tc: TrainConfig,
+    params,
+    tokens,
+    neg_samples,
+    obj_feats=None,
+    rng=None,
+    train: bool = True,
+):
+    """Forward + all enabled losses; returns (total, metrics)."""
+    out = forward_outputs(cfg, tc, params, tokens, obj_feats=obj_feats,
+                          rng=rng, train=train)
+    metrics = losses_from(cfg, tc, params, tokens, neg_samples, out)
+    return metrics["total_loss"], metrics
 
 
 class TrainState(NamedTuple):
@@ -192,8 +214,36 @@ class Trainer:
                 rng=None, train=False)
             return metrics
 
+        @functools.partial(
+            jax.jit,
+            static_argnames=("compute_loss", "outside", "with_chart"))
+        def parse_step(params, tokens, neg_samples, obj_feats,
+                       compute_loss: bool, outside: bool,
+                       with_chart: bool = False):
+            out = forward_outputs(
+                cfg, tc, params, tokens, obj_feats=obj_feats, rng=None,
+                train=False, with_cky=True, outside=outside)
+            res = {"cky_bp": out.chart.cky_bp}
+            if with_chart:
+                res["inside_h"] = out.chart.inside_h
+                if outside:
+                    res["outside_h"] = out.chart.outside_h
+            if cfg.use_obj:
+                B = tokens.shape[0]
+                res["atten_score"] = out.atten_score
+                # per-example diagonal of the span x region scores
+                # (reference: cliora/scripts/parse.py:169-172)
+                res["span_scores"] = out.all_atten_score[
+                    jnp.arange(B), jnp.arange(B)]
+            metrics = {}
+            if compute_loss:
+                metrics = losses_from(cfg, tc, params, tokens,
+                                      neg_samples, out)
+            return res, metrics
+
         self._train_step = train_step
         self._eval_step = eval_step
+        self._parse_step = parse_step
 
     @classmethod
     def build(cls, cfg: ModelConfig, tc: TrainConfig, embeddings,
@@ -236,6 +286,33 @@ class Trainer:
         else:
             metrics = self._eval_step(self.params, tokens, neg, obj)
         return {k: float(v) for k, v in metrics.items()}
+
+    def parse(self, batch_map: Dict[str, Any], compute_loss: bool = False,
+              outside: Optional[bool] = None, with_chart: bool = False):
+        """Eval forward with fused CKY.  Returns (res, metrics) where res
+        holds numpy ``cky_bp`` (B, ncells) and, for CLIORA,
+        ``atten_score`` (B, L, R) / ``span_scores`` (B, ncells, R).
+
+        ``outside`` default follows the reference eval toggle
+        (scripts/train.py:130: off for text-only DIORA, on for CLIORA).
+        """
+        import numpy as np  # noqa: F811
+
+        tokens = jnp.asarray(batch_map["sentences"])
+        neg = batch_map.get("neg_samples")
+        neg = jnp.asarray(neg) if neg is not None else jnp.zeros(
+            (1,), jnp.int32)
+        obj = batch_map.get("obj_feats")
+        obj = jnp.asarray(obj) if obj is not None else None
+        if outside is None:
+            outside = self.cfg.use_obj
+        if compute_loss:
+            outside = True  # losses need the outside chart
+        res, metrics = self._parse_step(
+            self.params, tokens, neg, obj, compute_loss=compute_loss,
+            outside=outside, with_chart=with_chart)
+        res = {k: np.asarray(v) for k, v in res.items()}
+        return res, {k: float(v) for k, v in metrics.items()}
 
     def parameter_norm(self, trainable_only: bool = True) -> float:
         """Sum of per-parameter L2 norms (reference: trainer.py:360-367)."""

@@ -1,0 +1,215 @@
+"""CLI flag surface + json round-trip.
+
+Preserves the reference's argparse surface so existing driver shell
+scripts work with path substitution (reference:
+cliora/scripts/train.py:278-458, cliora/utils/flags.py:1-43).
+TPU-specific flags replace the CUDA/NCCL ones: ``--n_devices`` picks the
+dp-mesh width (``--multigpu``/``--local_rank``/``--master_*`` are
+accepted and ignored for drop-in compatibility).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import uuid
+
+DATA_TYPES = ("coco", "flickr", "ptb", "txt", "jsonl", "conll",
+              "synthetic")
+
+
+def argument_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+
+    # Debug / provenance
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--seed", default=11, type=int)
+    p.add_argument("--git_sha", default=None, type=str)
+    p.add_argument("--git_branch_name", default=None, type=str)
+    p.add_argument("--git_dirty", default=None, type=str)
+    p.add_argument("--uuid", default=None, type=str)
+    p.add_argument("--model_flags", default=None, type=str,
+                   help="Load model settings from a flags file.")
+    p.add_argument("--flags", default=None, type=str,
+                   help="Load any settings from a flags file.")
+
+    # Distribution (TPU): dp mesh width; legacy GPU flags accepted+ignored
+    p.add_argument("--n_devices", default=None, type=int,
+                   help="Width of the data-parallel mesh "
+                        "(default: all local devices).")
+    p.add_argument("--cuda", action="store_true")       # ignored
+    p.add_argument("--multigpu", action="store_true")   # ignored
+    p.add_argument("--local_rank", default=None, type=int)  # ignored
+    p.add_argument("--master_addr", default="127.0.0.1", type=str)
+    p.add_argument("--master_port", default="29500", type=str)
+    p.add_argument("--world_size", default=None, type=int)
+
+    # Logging
+    p.add_argument("--default_experiment_directory", default="./log",
+                   type=str)
+    p.add_argument("--experiment_name", default=None, type=str)
+    p.add_argument("--experiment_path", default=None, type=str)
+    p.add_argument("--log_every_batch", default=10, type=int)
+    p.add_argument("--save_latest", default=1000, type=int)
+    p.add_argument("--save_distinct", default=5000, type=int)
+    p.add_argument("--save_after", default=1000, type=int)
+
+    # Loading
+    p.add_argument("--load_model_path", default=None, type=str)
+
+    # Data
+    p.add_argument("--data_type", default="flickr", choices=DATA_TYPES)
+    p.add_argument("--train_data_type", default=None, choices=DATA_TYPES)
+    p.add_argument("--validation_data_type", default=None,
+                   choices=DATA_TYPES)
+    p.add_argument("--train_path", default=None, type=str)
+    p.add_argument("--validation_path", default=None, type=str)
+    p.add_argument("--embeddings_path", default=None, type=str)
+    p.add_argument("--data_path", default=None, type=str,
+                   help="Directory with MAF feature files "
+                        "(default: ./flickr_data/flickr_feat_maf/).")
+
+    # Data (synthetic)
+    p.add_argument("--synthetic-nexamples", default=1000, type=int)
+    p.add_argument("--synthetic-vocabsize", default=1000, type=int)
+    p.add_argument("--synthetic-embeddingsize", default=1024, type=int)
+    p.add_argument("--synthetic-minlen", default=20, type=int)
+    p.add_argument("--synthetic-maxlen", default=21, type=int)
+    p.add_argument("--synthetic-seed", default=11, type=int)
+    p.add_argument("--synthetic-length", default=None, type=int)
+    p.add_argument("--use-synthetic-embeddings", action="store_true")
+
+    # Data (preprocessing)
+    p.add_argument("--uppercase", action="store_true")
+    p.add_argument("--train_filter_length", default=50, type=int)
+    p.add_argument("--validation_filter_length", default=0, type=int)
+
+    # Model
+    p.add_argument("--arch", default="mlp",
+                   choices=("mlp", "treelstm"))
+    p.add_argument("--share", action="store_false")
+    p.add_argument("--hidden_dim", default=400, type=int)
+    p.add_argument("--normalize", default="unit",
+                   choices=("none", "unit"))
+    p.add_argument("--compress", action="store_true")
+    p.add_argument("--reconstruct_mode", default="softmax",
+                   choices=("softmax",))
+    p.add_argument("--emb", default="w2v",
+                   choices=("w2v", "skip", "elmo", "both", "none"))
+
+    # Negative sampler
+    p.add_argument("--margin", default=1, type=float)
+    p.add_argument("--k_neg", default=100, type=int)
+    p.add_argument("--freq_dist_power", default=0.75, type=float)
+
+    # ELMo
+    p.add_argument("--elmo_options_path", default=None, type=str)
+    p.add_argument("--elmo_weights_path", default=None, type=str)
+    p.add_argument("--elmo_cache_dir", default="./log/elmo", type=str)
+
+    # Training
+    p.add_argument("--batch_size", default=10, type=int)
+    p.add_argument("--length_to_size", default=None, type=str)
+    p.add_argument("--train_dataset_size", default=None, type=int)
+    p.add_argument("--validation_dataset_size", default=None, type=int)
+    p.add_argument("--validation_batch_size", default=None, type=int)
+    p.add_argument("--max_epoch", default=5, type=int)
+    p.add_argument("--max_step", default=None, type=int)
+    p.add_argument("--finetune", action="store_true")
+    p.add_argument("--finetune_after", default=0, type=int)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 matmul compute in the chart passes.")
+
+    # Parsing
+    p.add_argument("--postprocess", action="store_true")
+    p.add_argument("--visualize", action="store_true")
+
+    # Optimization
+    p.add_argument("--lr", default=2e-3, type=float)
+
+    # Visual features / losses
+    p.add_argument("--alpha_contr", type=float, default=1.0)
+    p.add_argument("--obj_feats", action="store_true")
+    p.add_argument("--vl_margin", default=0.2, type=float)
+    p.add_argument("--use_contr", action="store_true")
+    p.add_argument("--use_contr_ce", action="store_true")
+    p.add_argument("--vg_loss", action="store_true")
+    p.add_argument("--alpha_vg", type=float, default=1.0)
+    p.add_argument("--alpha_kl", type=float, default=1.0)
+    p.add_argument("--hinge_margin", default=1, type=float)
+
+    return p
+
+
+def parse_args(parser, args=None):
+    """Post-processing defaults (reference: train.py:404-458)."""
+    options, _ = parser.parse_known_args(args)
+
+    options.train_data_type = (options.train_data_type
+                               or options.data_type)
+    options.validation_data_type = (options.validation_data_type
+                                    or options.data_type)
+    options.validation_batch_size = (options.validation_batch_size
+                                     or options.batch_size)
+
+    if not options.git_sha:
+        options.git_sha = os.popen(
+            "git rev-parse HEAD 2>/dev/null").read().strip()
+    if not options.git_branch_name:
+        options.git_branch_name = os.popen(
+            "git rev-parse --abbrev-ref HEAD 2>/dev/null").read().strip()
+    if not options.git_dirty:
+        options.git_dirty = os.popen(
+            "git diff --quiet 2>/dev/null && echo clean || echo dirty"
+        ).read().strip()
+    if not options.uuid:
+        options.uuid = str(uuid.uuid4())
+    if not options.experiment_name:
+        options.experiment_name = options.uuid[:8]
+    if not options.experiment_path:
+        options.experiment_path = os.path.join(
+            options.default_experiment_directory, options.experiment_name)
+
+    if options.length_to_size is not None and isinstance(
+            options.length_to_size, str):
+        parts = [x.split(":") for x in options.length_to_size.split(",")]
+        options.length_to_size = {int(a): int(b) for a, b in parts}
+
+    options.lowercase = not options.uppercase
+
+    for k, v in vars(options).items():
+        if isinstance(v, str) and v.startswith("~"):
+            setattr(options, k, os.path.expanduser(v))
+
+    MODEL_FLAGS = ("arch", "compress", "emb", "hidden_dim", "normalize",
+                   "reconstruct_mode")
+    if options.model_flags is not None:
+        options = init_with_flags_file(options, options.model_flags,
+                                       MODEL_FLAGS)
+    if options.flags is not None:
+        options = init_with_flags_file(options, options.flags)
+
+    return options
+
+
+def stringify_flags(options) -> str:
+    return json.dumps(vars(options), indent=2, sort_keys=True, default=str)
+
+
+def save_flags(options, experiment_path: str):
+    """(reference: cliora/utils/flags.py:39-43)"""
+    os.makedirs(experiment_path, exist_ok=True)
+    with open(os.path.join(experiment_path, "flags.json"), "w") as f:
+        f.write(stringify_flags(options))
+
+
+def init_with_flags_file(options, flags_file: str, restrict=None):
+    """(reference: cliora/utils/flags.py:12-36)"""
+    with open(flags_file) as f:
+        flags = json.load(f)
+    for k, v in flags.items():
+        if restrict is not None and k not in restrict:
+            continue
+        setattr(options, k, v)
+    return options

@@ -1,0 +1,144 @@
+"""End-to-end CLI: train 1 epoch on a tiny on-disk flickr-format corpus
+(with MAF HDF5 features), checkpoint, then parse/eval from the
+checkpoint -- the full reference workflow
+(train_cliora.sh -> test_cliora.sh) in miniature."""
+
+import glob
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+def _write_corpus(root, rs, split, n_sentences, vocab_words, with_anno):
+    lines, ids = [], []
+    for i in range(n_sentences):
+        n = rs.randint(3, 7)
+        words = [vocab_words[rs.randint(2, len(vocab_words))]
+                 for _ in range(n)]
+        # right-branching gold spans (inclusive), root last
+        gold = [(j, n - 1) for j in range(n - 2, 0, -1)] + [(0, n - 1)]
+        lines.append([" ".join(words), gold])
+        ids.append(f"{100 + i}\t0")
+    with open(os.path.join(root, f"flickr_{split}.json"), "w") as f:
+        for ln in lines:
+            f.write(json.dumps(ln) + "\n")
+    with open(os.path.join(root, f"{split}.txt"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+    if with_anno:
+        anno = {}
+        for i in range(n_sentences):
+            anno[f"{100 + i}_0"] = [
+                {"phr0": (0, 2, [0.0, 0.0, 10.0, 10.0])}, [1, 1]]
+        with open(os.path.join(root, f"gt_anno_{split}.pkl"), "wb") as f:
+            pickle.dump(anno, f)
+    return [100 + i for i in range(n_sentences)]
+
+
+def _write_features(root, img_ids, mode, rs):
+    import h5py
+
+    n = len(img_ids)
+    feats = rs.randn(n * 3, 64).astype(np.float32)
+    boxes = np.tile(np.asarray([[0, 0, 10, 10], [5, 5, 20, 20],
+                                [1, 1, 2, 2]], np.float32), (n, 1))
+    pos = np.stack([np.arange(n) * 3, np.arange(n) * 3 + 3], axis=1)
+    with h5py.File(os.path.join(root, f"{mode}_features_compress.hdf5"),
+                   "w") as f:
+        f.create_dataset("features", data=feats)
+        f.create_dataset("bboxes", data=boxes)
+        f.create_dataset("pos_bboxes", data=pos)
+    with open(os.path.join(root, f"{mode}_imgid2idx.pkl"), "wb") as f:
+        pickle.dump({img: i for i, img in enumerate(img_ids)}, f)
+    det = {str(img): {"classes": ["cat", "dog", "cat"]} for img in img_ids}
+    with open(os.path.join(root, f"{mode}_detection_dict.json"), "w") as f:
+        json.dump(det, f)
+    with open(os.path.join(root, "objects_vocab.txt"), "w") as f:
+        f.write("cat\ndog\n")
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("flickr"))
+    rs = np.random.RandomState(0)
+    words = ["_PAD", "<unk>", "a", "dog", "cat", "runs", "fast", "the",
+             "big", "red", "sits", "jumps"]
+    vocab = {w: i for i, w in enumerate(words)}
+    with open(os.path.join(root, "flickr.dic.json"), "w") as f:
+        json.dump(vocab, f)
+    train_ids = _write_corpus(root, rs, "train", 24, words, False)
+    test_ids = _write_corpus(root, rs, "test", 8, words, True)
+    _write_features(root, train_ids, "train", rs)
+    _write_features(root, test_ids, "test", rs)
+    return root
+
+
+def _common_args(corpus, exp_path):
+    return [
+        "--data_type", "flickr", "--emb", "none",
+        "--train_path", os.path.join(corpus, "flickr_train.json"),
+        "--validation_path", os.path.join(corpus, "flickr_test.json"),
+        "--data_path", corpus + "/",
+        "--experiment_path", exp_path,
+        "--hidden_dim", "16", "--k_neg", "4", "--batch_size", "8",
+        "--validation_batch_size", "4",
+        "--obj_feats", "--vg_loss", "--use_contr",
+        "--lr", "1e-3", "--seed", "3",
+    ]
+
+
+def test_train_and_parse_cli(corpus, tmp_path, monkeypatch):
+    # FlickrDataset features here are 64-d, not 2048-d
+    import cliora_tpu.models.config as config_mod
+    from cliora_tpu.scripts import parse as parse_script
+    from cliora_tpu.scripts import train as train_script
+    from cliora_tpu.scripts.common import model_config_from_options
+    import cliora_tpu.scripts.common as common_mod
+
+    def small_cfg(options, embeddings):
+        cfg = model_config_from_options(options, embeddings)
+        import dataclasses
+        return dataclasses.replace(cfg, obj_feat_size=64, n_regions=3)
+
+    monkeypatch.setattr(common_mod, "model_config_from_options", small_cfg)
+
+    exp = str(tmp_path / "exp")
+    train_script.main(_common_args(corpus, exp) + ["--max_epoch", "1"])
+
+    ckpts = sorted(glob.glob(os.path.join(exp, "model.epoch_*.npz")))
+    assert ckpts, os.listdir(exp)
+    assert os.path.exists(os.path.join(exp, "flags.json"))
+    assert os.path.exists(os.path.join(exp, "experiment.epoch_0.json"))
+    # torch-interop twin written alongside
+    assert os.path.exists(ckpts[0].replace(".npz", ".pt"))
+
+    exp2 = str(tmp_path / "exp_parse")
+    metrics = parse_script.main(
+        _common_args(corpus, exp2)
+        + ["--load_model_path", ckpts[0], "--postprocess"])
+
+    assert 0.0 <= metrics["corpus_f1"] <= 1.0
+    assert 0.0 <= metrics["grounding_acc"] <= 1.0
+    out = os.path.join(exp2, "parse.jsonl")
+    with open(out) as f:
+        records = [json.loads(line) for line in f]
+    assert len(records) == 8
+    for r in records:
+        assert set(r) >= {"example_id", "tree", "sentence", "gold_spans",
+                          "pred_spans", "pred_boxes"}
+        assert len(r["pred_boxes"]) == len(r["pred_spans"])
+
+
+def test_right_branch_cli(corpus, tmp_path):
+    from cliora_tpu.scripts import right_branch
+
+    f1 = right_branch.main([
+        "--data_type", "flickr", "--emb", "none",
+        "--validation_path", os.path.join(corpus, "flickr_test.json"),
+        "--experiment_path", str(tmp_path / "rb"),
+        "--validation_batch_size", "4", "--seed", "3",
+    ])
+    # gold spans are right-branching here, so recall-style F1 is high
+    assert f1 > 0.9
