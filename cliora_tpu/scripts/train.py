@@ -67,12 +67,14 @@ def run_train(options, train_iterator, trainer, validation_iterator):
     step = 0
     best_f1 = 0.0
 
+    from cliora_tpu.data.prefetch import device_prefetch
+
     for epoch, seed in zip(range(options.max_epoch), seeds):
         logger.info(f"epoch={epoch} seed={seed}")
-        for batch_map in train_iterator.get_iterator(random_seed=seed):
-            if batch_map["length"] <= 2:
-                continue
-            result = trainer.step(batch_map)
+        batches = (bm for bm in train_iterator.get_iterator(
+            random_seed=seed) if bm["length"] > 2)
+        for batch_map in device_prefetch(batches, mesh=trainer.mesh):
+            result = dict(trainer.step(batch_map))
             result["length"] = batch_map["length"]
             result["batch_size"] = batch_map["batch_size"]
             experiment_logger.record(result)

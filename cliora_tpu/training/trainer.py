@@ -188,6 +188,10 @@ class Trainer:
         if mesh is not None:
             from cliora_tpu.parallel.mesh import replicate_tree
             self.state = replicate_tree(mesh, self.state)
+        # host-side step counter for dropout keys: reading state.step would
+        # force a device sync every step
+        self._host_rng = jax.random.PRNGKey(1729)
+        self._host_step = 0
         mask_flat = self.mask
 
         @functools.partial(jax.jit, donate_argnums=0)
@@ -280,12 +284,16 @@ class Trainer:
             obj = jnp.asarray(obj) if obj is not None else None
         if train:
             if rng is None:
-                rng = jax.random.PRNGKey(int(self.state.step))
+                rng = jax.random.fold_in(self._host_rng, self._host_step)
+                self._host_step += 1
             self.state, metrics = self._train_step(
                 self.state, tokens, neg, obj, rng)
         else:
             metrics = self._eval_step(self.params, tokens, neg, obj)
-        return {k: float(v) for k, v in metrics.items()}
+        # Metrics stay device-resident: converting here would force a sync
+        # every step and serialize the host->device pipeline (float() them
+        # when logging).
+        return metrics
 
     def parse(self, batch_map: Dict[str, Any], compute_loss: bool = False,
               outside: Optional[bool] = None, with_chart: bool = False):

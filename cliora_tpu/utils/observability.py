@@ -44,18 +44,21 @@ def configure_experiment(experiment_path: str,
 
 
 class Accumulator:
-    """Running mean over named values (reference: logging/accumulator.py)."""
+    """Running mean over named values (reference: logging/accumulator.py).
+
+    Values may be device scalars; they are only synced (float()) when a
+    mean is read, so recording never blocks the dispatch pipeline.
+    """
 
     def __init__(self):
         self.table = {}
 
     def record(self, key, value):
-        count, total = self.table.get(key, (0, 0.0))
-        self.table[key] = (count + 1, total + value)
+        self.table.setdefault(key, []).append(value)
 
     def get_mean(self, key):
-        count, total = self.table[key]
-        return total / count
+        vals = self.table[key]
+        return float(sum(float(v) for v in vals) / len(vals))
 
     def keys(self):
         return self.table.keys()
