@@ -41,11 +41,12 @@ def run_eval(trainer, iterator, seed: int = 11,
             continue
         res, _ = trainer.parse(batch_map, compute_loss=False,
                                outside=use_obj)
+        real = batch_map.get("real_size", batch_map["batch_size"])
 
         if use_obj and "atten_score" in res:
             targets = batch_map["VG_GT"]
             boxes = np.asarray(batch_map["boxes"])
-            for bid in range(len(targets)):
+            for bid in range(real):
                 phrases, _noun_mask = targets[bid]
                 if not phrases:
                     continue
@@ -54,7 +55,7 @@ def run_eval(trainer, iterator, seed: int = 11,
                 grounding.update(ground_res)
 
         for bid, (tree, pred_spans) in enumerate(
-                eval_batch_trees(res["cky_bp"], length)):
+                eval_batch_trees(res["cky_bp"][:real], length)):
             gold_spans = set(batch_map["GT"][bid][:-1])
             f1.update(pred_spans, gold_spans)
 

@@ -193,3 +193,41 @@ class ChartIndex:
 
 # Process-wide cache; index arrays are tiny and immutable.
 INDEX = ChartIndex()
+
+
+def get_catalan(n: int) -> int:
+    """Number of binary trees over ``n`` leaves, capped at 5000 for n > 10.
+
+    (reference: cliora/net/utils.py:58-64 -- only used to sanity-check
+    tree counts, hence the overflow-avoiding cap)
+    """
+    if n > 10:
+        return 5000
+    from math import comb
+    return comb(2 * (n - 1), n - 1) // n
+
+
+def check_inside_components(n: int, level: int) -> bool:
+    """Every (target, left, right) triple is a valid adjacent split.
+
+    (reference: cliora/net/inside_index.py:24-47 ``InsideIndexCheck`` --
+    vestigial self-test utility, functional here)
+    """
+    for (ti, tj), (li, lj), (ri, rj) in inside_components(n, level):
+        if not (li == ti and rj == tj and lj == ri and li < lj < rj):
+            return False
+    return True
+
+
+def check_outside_components(n: int, level: int) -> bool:
+    """Every (target, parent, sibling) triple is a valid derivation:
+    parent = target U sibling, adjacent and disjoint.
+
+    (reference: cliora/net/outside_index.py:65-90 ``OutsideIndexCheck``)
+    """
+    for (ti, tj), (pi, pj), (si, sj) in outside_components(n, level):
+        adjacent = sj == ti or si == tj
+        covers = (pi, pj) == (min(ti, si), max(tj, sj))
+        if not (adjacent and covers and (sj <= ti or si >= tj)):
+            return False
+    return True

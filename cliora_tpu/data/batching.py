@@ -87,7 +87,8 @@ class BatchIterator:
             NegativeSampler] = None, k_neg: int = 100, batch_size: int = 16,
             include_partial: bool = False, filter_length: Optional[int] = None,
             length_to_size=None, process_index: int = 0,
-            process_count: int = 1, prefetch: int = 4):
+            process_count: int = 1, prefetch: int = 4,
+            pad_batches: bool = False):
         self.dataset = dataset
         self.extra = extra or {}
         self.negative_sampler = negative_sampler
@@ -99,6 +100,12 @@ class BatchIterator:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        # Pad surplus batches up to the bucket batch size by repeating
+        # examples, so XLA compiles one executable per sentence length
+        # instead of one per (length, remainder) pair.  ``real_size``
+        # records how many leading rows are genuine; evaluation loops
+        # must ignore the padding rows.
+        self.pad_batches = pad_batches
         self.word2idx = None  # set by make_batch_iterator
 
     # -- reference-parity introspection helpers (batch_iterator.py:68-80) --
@@ -116,7 +123,13 @@ class BatchIterator:
                 f"minlen={self.get_dataset_minlen()} "
                 f"maxlen={self.get_dataset_maxlen()}")
 
-    def _assemble(self, batch_index):
+    def _assemble(self, batch_index, target_size=None):
+        real_size = len(batch_index)
+        if (self.pad_batches and target_size is not None
+                and real_size < target_size):
+            reps = [batch_index[i % real_size]
+                    for i in range(target_size - real_size)]
+            batch_index = list(batch_index) + reps
         rows = [self.dataset[i] for i in batch_index]
         index, sents, obj_feats, boxes, obj_cates = zip(*rows)
         batch_map = {
@@ -142,6 +155,7 @@ class BatchIterator:
 
         B, L = batch_map["sentences"].shape
         batch_map["batch_size"] = B
+        batch_map["real_size"] = min(real_size, B)
         batch_map["length"] = L
         if self.negative_sampler is not None:
             batch_map["neg_samples"] = self.negative_sampler.sample(
@@ -160,9 +174,14 @@ class BatchIterator:
                                        self.include_partial),
             length_to_size=self.length_to_size)
 
+        def assemble(batch_index):
+            target = sampler.get_batch_size(
+                lengths[batch_index[0]]) if batch_index else None
+            return self._assemble(batch_index, target_size=target)
+
         if self.prefetch <= 0:
             for batch_index in sampler:
-                yield self._assemble(batch_index)
+                yield assemble(batch_index)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -171,7 +190,7 @@ class BatchIterator:
         def producer():
             try:
                 for batch_index in sampler:
-                    q.put(self._assemble(batch_index))
+                    q.put(assemble(batch_index))
             finally:
                 q.put(_DONE)
 

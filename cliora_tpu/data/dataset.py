@@ -135,7 +135,8 @@ class ConsolidateDatasets:
 def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
                         filter_length=0, batch_size=None,
                         length_to_size=None, mode: str = "train",
-                        data_path: Optional[str] = None) -> BatchIterator:
+                        data_path: Optional[str] = None,
+                        pad_batches: bool = False) -> BatchIterator:
     """(reference: cliora/data/dataset.py:127-160)"""
     sentences = dset["sentences"]
     word2idx = dset["word2idx"]
@@ -166,6 +167,7 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
         filter_length=filter_length,
         length_to_size=length_to_size,
         process_index=jax.process_index(),
-        process_count=jax.process_count())
+        process_count=jax.process_count(),
+        pad_batches=pad_batches)
     it.word2idx = word2idx
     return it

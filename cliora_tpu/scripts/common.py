@@ -116,7 +116,9 @@ def get_validation_iterator(options, dataset):
         filter_length=options.validation_filter_length,
         batch_size=options.validation_batch_size,
         length_to_size=options.length_to_size, mode="test",
-        data_path=getattr(options, "data_path", None))
+        data_path=getattr(options, "data_path", None),
+        # pad surplus batches so eval compiles once per length
+        pad_batches=True)
 
 
 def get_train_and_validation(options):

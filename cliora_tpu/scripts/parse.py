@@ -112,13 +112,22 @@ def run(options):
                 loss_sums[k] += v
             num_batches += 1
 
-            trees_spans = eval_batch_trees(res["cky_bp"], length)
+            real = batch_map.get("real_size", batch_map["batch_size"])
+            trees_spans = eval_batch_trees(res["cky_bp"][:real], length)
             boxes = np.asarray(batch_map["boxes"])
+
+            if options.visualize and "atten_score" in res:
+                from cliora_tpu.analysis.visualize import visualize_batch
+                visualize_batch(
+                    res["atten_score"][:real],
+                    batch_map["sentences"][:real],
+                    batch_map["example_ids"][:real], boxes, idx2word,
+                    img_root=options.img_root)
 
             batch_ground_res = None
             if "atten_score" in res:
                 batch_ground_res = []
-                for bid in range(len(trees_spans)):
+                for bid in range(real):
                     phrases, _ = batch_map["VG_GT"][bid]
                     batch_ground_res.append(ground_phrases(
                         res["atten_score"][bid], boxes[bid], phrases))

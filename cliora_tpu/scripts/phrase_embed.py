@@ -74,7 +74,9 @@ def run(options):
         if length <= 2:
             continue
         res, _ = trainer.parse(batch_map, outside=True, with_chart=True)
-        bi, pos, sizes, labels = entity_cells(batch_map["entity_labels"])
+        real = batch_map.get("real_size", batch_map["batch_size"])
+        bi, pos, sizes, labels = entity_cells(
+            batch_map["entity_labels"][:real])
         if not bi:
             continue
         offs = level_offsets(length)

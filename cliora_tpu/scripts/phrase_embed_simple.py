@@ -71,7 +71,7 @@ def run(options):
         res, _ = trainer.parse(batch_map, outside=True, with_chart=True)
         inside_h = res["inside_h"]
         outside_h = res["outside_h"]
-        B = batch_map["batch_size"]
+        B = batch_map.get("real_size", batch_map["batch_size"])
         offs = level_offsets(length)
 
         if options.parse_mode == "all-spans":
@@ -80,13 +80,13 @@ def run(options):
                 for level in range(length):
                     for pos in range(length - level):
                         f_csv.write(f"{ex},{pos},{level + 1}\n")
-            iv = inside_h.reshape(-1, inside_h.shape[-1])
-            ov = outside_h.reshape(-1, outside_h.shape[-1])
+            iv = inside_h[:B].reshape(-1, inside_h.shape[-1])
+            ov = outside_h[:B].reshape(-1, outside_h.shape[-1])
         else:
             if options.parse_mode == "latent":
                 span_lists = []
                 for bid, (tree, _) in enumerate(
-                        eval_batch_trees(res["cky_bp"], length)):
+                        eval_batch_trees(res["cky_bp"][:B], length)):
                     toks = [idx2word[i] for i in
                             batch_map["sentences"][bid].tolist()]
                     tr = replace_leaves(tree, toks)

@@ -22,7 +22,8 @@ def run(options):
         length = batch_map["length"]
         if length < 2:
             continue
-        for bid in range(batch_map["batch_size"]):
+        for bid in range(batch_map.get("real_size",
+                                       batch_map["batch_size"])):
             gold_spans = set(batch_map["GT"][bid][:-1])
             pred_spans = {(i, length - 1) for i in range(1, length - 1)}
             # the reference scores right-branching spans as all-recalled

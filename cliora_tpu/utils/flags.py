@@ -124,6 +124,8 @@ def argument_parser() -> argparse.ArgumentParser:
     # Parsing
     p.add_argument("--postprocess", action="store_true")
     p.add_argument("--visualize", action="store_true")
+    p.add_argument("--img_root", default="./flickr_data/", type=str,
+                   help="Image directory root for --visualize.")
 
     # Optimization
     p.add_argument("--lr", default=2e-3, type=float)
