@@ -184,3 +184,36 @@ class F1Meter:
     @property
     def sent_f1(self):
         return float(np.mean(self.sent)) if self.sent else 0.0
+
+
+def spans_to_tree(spans, tokens):
+    """(pos, size) span list -> nested tuple over ``tokens``.
+
+    Missing single-token spans are filled in.
+    (reference: cliora/analysis/diora_tree.py:1-42)
+    """
+    length = len(tokens)
+    have = {span[0] for span in spans if span[1] == 1}
+    spans = list(spans) + [(pos, 1) for pos in range(length)
+                           if pos not in have]
+    spans.sort(key=lambda x: (x[1], x[0]))
+
+    pos_to_node = {}
+    for i, (pos, size) in enumerate(spans):
+        if size == 1:
+            pos_to_node[pos] = (pos, 1, tokens[pos])
+            continue
+        node = (pos, size, [])
+        for i_pos in range(pos, pos + size):
+            child = pos_to_node[i_pos]
+            if i_pos == child[0]:
+                node[2].append(child)
+            pos_to_node[i_pos] = node
+
+    def helper(node):
+        _, _, payload = node
+        if not isinstance(payload, list):
+            return payload
+        return tuple(helper(x) for x in payload)
+
+    return helper(pos_to_node[0])

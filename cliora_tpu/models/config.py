@@ -30,9 +30,16 @@ class ModelConfig:
     #         (cheap backward).  'dense': single dense chart, per-split
     #         slice stacks (slowest; kept for reference).
     chart_impl: str = "flat"
+    # 'soft': softmax-weighted split aggregation (DIORA); 'hard': argmax
+    # split only (the S-DIORA greedy variant -- selectable but never
+    # shipped in the reference: cliora/net/trainer.py:525 raises)
+    aggregate: str = "soft"
 
     def __post_init__(self):
         assert self.arch in ("mlp", "treelstm"), self.arch
         assert self.normalize in ("unit", "none"), self.normalize
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.chart_impl in ("flat", "dual", "dense"), self.chart_impl
+        assert self.aggregate in ("soft", "hard"), self.aggregate
+        if self.aggregate == "hard":
+            assert self.chart_impl == "flat", "hard aggregation: flat only"

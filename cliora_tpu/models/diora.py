@@ -92,6 +92,7 @@ def diora_forward(
     with_cky: bool = False,
     outside: Optional[bool] = None,
     with_all_atten: bool = True,
+    materialize_atten: bool = True,
 ) -> DioraOutput:
     """Run the full inside-outside recursion (+ CLIORA attention scores).
 
@@ -114,6 +115,10 @@ def diora_forward(
         with_cky=with_cky, outside=run_outside)
 
     all_atten = vg_atten = atten = None
+    if cfg.use_obj and train and not materialize_atten:
+        # the fused-score loss path (ops/span_region.py) computes its
+        # reductions directly from the chart; skip the B^2 tensors
+        return DioraOutput(chart, None, None, None)
     if cfg.use_obj:
         B, L = x_span.shape[0], x_span.shape[1]
         ih = chart.inside_h

@@ -101,7 +101,11 @@ def inside_pass(
         ls = jnp.take(inside_s, idx_l, axis=1)[..., 0]
         rs = jnp.take(inside_s, idx_r, axis=1)[..., 0]
         s = (s_bil + ls + rs).reshape(B, L, N)
-        p = jax.nn.softmax(s, axis=-1)               # softmax over splits
+        if cfg.aggregate == "hard":
+            # greedy (S-DIORA-style): best split only
+            p = jax.nn.one_hot(jnp.argmax(s, -1), N, dtype=s.dtype)
+        else:
+            p = jax.nn.softmax(s, axis=-1)           # softmax over splits
 
         h_agg = jnp.einsum("blnd,bln->bld", h.reshape(B, L, N, D), p)
         s_agg = jnp.sum(s * p, axis=-1)              # (B, L)
@@ -186,7 +190,11 @@ def outside_pass(
         ps_ = jnp.take(outside_s, par_idx, axis=1)[..., 0]
         ss_ = jnp.take(inside_s, sis_idx, axis=1)[..., 0]
         s = (s_bil + ss_ + ps_).reshape(B, N, L)
-        p = jax.nn.softmax(s, axis=1)                # softmax over combos
+        if cfg.aggregate == "hard":
+            p = jax.nn.one_hot(jnp.argmax(s, 1), N, dtype=s.dtype,
+                               axis=1)
+        else:
+            p = jax.nn.softmax(s, axis=1)            # softmax over combos
 
         h_agg = jnp.einsum("bnld,bnl->bld", h.reshape(B, N, L, D), p)
         s_agg = jnp.sum(s * p, axis=1)               # (B, L)

@@ -1,0 +1,169 @@
+"""Fused span x region best-match scores: ``max_r span . obj``.
+
+The CLIORA losses only consume ``max`` over regions of the span x region
+score tensor (reference: cliora/net/trainer.py:103 ``all_atten_score.
+max(-1)`` and :145 ``vg_atten_score.max(-1)``), yet the reference -- and
+our einsum path -- materialize the full ``(B_text, B_img, cells, R)``
+tensor first.  At B=128, L=20 that is 124 MB; at B=512 it is 2 GB, and it
+is the batch-size limiter for contrastive training (SURVEY.md section 5).
+
+This module computes ``out[a, c, m] = max_r sum_d span[a, m, d] *
+obj[c, r, d]`` in three interchangeable ways:
+
+  * ``einsum``  -- materializing reference semantics (oracle);
+  * ``chunked`` -- lax.map over image chunks, O(B * cells * R) live;
+  * ``pallas``  -- a TPU kernel: each program computes one
+    (row-tile x image) block as a single MXU matmul and reduces the
+    region axis in VMEM, so the R axis never exists in HBM.
+
+All carry a custom VJP that avoids the big tensor in the backward too:
+only the argmax region index (int32) is saved, and gradients flow
+through a per-image scan (max is locally linear in its argmax).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_TILE = 256
+
+
+def _max_and_argmax_einsum(span, obj):
+    scores = jnp.einsum("amd,crd->acmr", span, obj)
+    return jnp.max(scores, -1), jnp.argmax(scores, -1).astype(jnp.int32)
+
+
+def _max_and_argmax_chunked(span, obj, chunk: int = 8):
+    C = obj.shape[0]
+    assert C % chunk == 0 or chunk >= C, (C, chunk)
+    chunk = min(chunk, C)
+
+    def one_chunk(obj_c):
+        s = jnp.einsum("amd,crd->acmr", span, obj_c)
+        return jnp.max(s, -1), jnp.argmax(s, -1).astype(jnp.int32)
+
+    obj_chunks = obj.reshape(C // chunk, chunk, *obj.shape[1:])
+    mx, am = jax.lax.map(one_chunk, obj_chunks)     # (C/ch, A, ch, M)
+    mx = jnp.moveaxis(mx, 0, 1).reshape(span.shape[0], C, span.shape[1])
+    am = jnp.moveaxis(am, 0, 1).reshape(span.shape[0], C, span.shape[1])
+    return mx, am
+
+
+C_TILE = 8  # images per program; keeps the out block sublane-aligned
+
+
+def _pallas_kernel(span_ref, obj_ref, max_ref, arg_ref):
+    # (C_TILE, R, tile) = batched matmul over the image sub-block
+    scores = jax.lax.dot_general(
+        obj_ref[...], span_ref[...],
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    max_ref[...] = jnp.max(scores, axis=1)
+    arg_ref[...] = jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+
+def _max_and_argmax_pallas(span, obj):
+    A, M, D = span.shape
+    C, R, _ = obj.shape
+    flat = span.reshape(A * M, D)
+    rows = A * M
+    tile = min(ROW_TILE, rows)
+    c_pad = -C % C_TILE
+    if c_pad:
+        obj = jnp.pad(obj, ((0, c_pad), (0, 0), (0, 0)))
+    Cp = C + c_pad
+    grid = (pl.cdiv(rows, tile), Cp // C_TILE)
+
+    mx, am = pl.pallas_call(
+        _pallas_kernel,
+        grid=grid,
+        # interpret on non-TPU backends so CPU tests cover the kernel
+        # ('axon' = TPU behind the tunnel PJRT plugin)
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C_TILE, R, D), lambda i, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((C_TILE, tile), lambda i, c: (c, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C_TILE, tile), lambda i, c: (c, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Cp, rows), jnp.float32),
+            jax.ShapeDtypeStruct((Cp, rows), jnp.int32),
+        ],
+    )(flat, obj)
+    # (Cp, A*M) -> (A, C, M)
+    mx = jnp.moveaxis(mx[:C].reshape(C, A, M), 0, 1)
+    am = jnp.moveaxis(am[:C].reshape(C, A, M), 0, 1)
+    return mx, am
+
+
+_IMPLS = {
+    "einsum": _max_and_argmax_einsum,
+    "chunked": _max_and_argmax_chunked,
+    "pallas": _max_and_argmax_pallas,
+}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def span_region_max(span, obj, impl: str = "einsum"):
+    """(A, M, D) x (C, R, D) -> (A, C, M) best-region scores."""
+    return _IMPLS[impl](span, obj)[0]
+
+
+def _fwd(span, obj, impl):
+    mx, am = _IMPLS[impl](span, obj)
+    return mx, (span, obj, am)
+
+
+BWD_CHUNK = 16
+
+
+def _bwd(impl, res, g):
+    span, obj, am = res
+    A, M, D = span.shape
+    C, R, _ = obj.shape
+
+    # scan over image *chunks*: never materialize (A, C, M, R) or
+    # (A, C, M, D); chunking keeps each step MXU-sized
+    ch = min(BWD_CHUNK, C)
+    pad = -C % ch
+    if pad:
+        obj_p = jnp.pad(obj, ((0, pad), (0, 0), (0, 0)))
+        am_p = jnp.pad(am, ((0, 0), (0, pad), (0, 0)))
+        g_p = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    else:
+        obj_p, am_p, g_p = obj, am, g
+    Cp = C + pad
+    nch = Cp // ch
+
+    def body(dspan, inputs):
+        obj_c, am_c, g_c = inputs     # (ch, R, D), (A, ch, M), (A, ch, M)
+        onehot = jax.nn.one_hot(am_c, R, dtype=g.dtype)  # (A, ch, M, R)
+        w = onehot * g_c[..., None]                      # weighted one-hot
+        # dspan[a,m] += sum_c g * obj[c, am]
+        dspan = dspan + jnp.einsum("acmr,crd->amd", w, obj_c)
+        # dobj[c,r] += sum_{a,m: am=r} g * span[a,m]
+        dobj_c = jnp.einsum("acmr,amd->crd", w, span)
+        return dspan, dobj_c
+
+    dspan, dobj = jax.lax.scan(
+        body, jnp.zeros_like(span),
+        (obj_p.reshape(nch, ch, R, D),
+         jnp.moveaxis(am_p.reshape(A, nch, ch, M), 1, 0),
+         jnp.moveaxis(g_p.reshape(A, nch, ch, M), 1, 0)))
+    dobj = dobj.reshape(Cp, R, D)[:C]
+    return dspan, dobj
+
+
+span_region_max.defvjp(_fwd, _bwd)

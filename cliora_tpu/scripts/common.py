@@ -25,10 +25,14 @@ def model_config_from_options(options, embeddings) -> ModelConfig:
         input_size = 1024       # trainable table width (--emb none)
     else:
         input_size = int(np.asarray(embeddings).shape[1])
+    arch, aggregate = options.arch, "soft"
+    if arch == "hard":  # S-DIORA: mlp compose, greedy split aggregation
+        arch, aggregate = "mlp", "hard"
     return ModelConfig(
         size=options.hidden_dim,
         input_size=input_size,
-        arch=options.arch,
+        arch=arch,
+        aggregate=aggregate,
         share=options.share,
         normalize=options.normalize,
         compress=options.compress,

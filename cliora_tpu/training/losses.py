@@ -45,6 +45,16 @@ def reconstruction_loss(recon_params, embed_table, tokens, neg_samples,
     return loss
 
 
+def vg_loss_from_scores(phrase_region_max, alpha_vg: float = 1.0):
+    """As :func:`vg_loss` but from pre-reduced (B, B, L) best-region
+    scores (see ops/span_region.py for the fused reduction)."""
+    B, _, L = phrase_region_max.shape
+    logits = jnp.sum(phrase_region_max, axis=-1) / L
+    logZ = jax.nn.logsumexp(logits, axis=1)
+    loss = jnp.mean(logZ - jnp.diagonal(logits))
+    return alpha_vg * loss
+
+
 def vg_loss(vg_atten_score, alpha_vg: float = 1.0):
     """Word-level visual-grounding InfoNCE across the batch.
 
@@ -61,6 +71,33 @@ def vg_loss(vg_atten_score, alpha_vg: float = 1.0):
     logZ = jax.nn.logsumexp(logits, axis=1)
     loss = jnp.mean(logZ - jnp.diagonal(logits))
     return alpha_vg * loss
+
+
+def contrastive_loss_from_scores(inside_s, outside_s, scores,
+                                 margin: float = 0.2,
+                                 alpha_contr: float = 1.0):
+    """As :func:`contrastive_loss` but from pre-reduced (B, B, ncells)
+    best-region scores (see ops/span_region.py)."""
+    ins = inside_s[..., 0]
+    outs = outside_s[..., 0]
+    B, NC = ins.shape
+
+    scores = jnp.transpose(scores, (2, 0, 1))    # (NC, B_t, B_i)
+    diag = jnp.diagonal(scores, axis1=-2, axis2=-1)
+    d1 = diag[:, :, None]
+    d2 = diag[:, None, :]
+
+    eye = jnp.eye(B, dtype=bool)[None]
+    loss_txt = jnp.maximum(margin + scores - d1, MIN_VAL)
+    loss_img = jnp.maximum(margin + scores - d2, MIN_VAL)
+    loss_txt = jnp.where(eye, 0.0, loss_txt).mean(axis=2)
+    loss_img = jnp.where(eye, 0.0, loss_img).mean(axis=1)
+    vl_loss = (loss_txt + loss_img).T
+
+    span_margs = jnp.exp(ins + outs - ins[:, -1:])
+    loss_mat = span_margs * vl_loss
+    loss = jnp.mean(jnp.sum(loss_mat[:, : NC // 2], axis=-1))
+    return alpha_contr * loss
 
 
 def contrastive_loss(inside_s, outside_s, all_atten_score,

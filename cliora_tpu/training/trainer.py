@@ -57,9 +57,15 @@ class TrainConfig:
     alpha_contr: float = 1.0
     vl_margin: float = 0.2          # --vl_margin (hinge margin)
     freeze: str = "none"            # 'none' | 'diora' | 'except_vis'
+    # span x region max reduction: 'einsum' materializes the
+    # (B, B, cells, R) tensor (reference semantics); 'chunked'/'pallas'
+    # fuse the max so it never exists in HBM (ops/span_region.py)
+    attn_impl: str = "einsum"
 
     def __post_init__(self):
         assert self.freeze in ("none", "diora", "except_vis"), self.freeze
+        assert self.attn_impl in ("einsum", "chunked", "pallas"), \
+            self.attn_impl
 
 
 def trainable_mask(tc: TrainConfig, params) -> Any:
@@ -93,7 +99,11 @@ def forward_outputs(
     outside=None,
 ):
     """Embed -> image-encode -> diora forward (reference: Net.forward,
-    cliora/net/trainer.py:272-304)."""
+    cliora/net/trainer.py:272-304).
+
+    Returns (out, aux) where aux carries the embedding/region vectors the
+    fused-score losses need.
+    """
     x_span, x_word = embed_forward(
         params["embed"], tokens, trainable=tc.emb_trainable)
     obj_span = obj_word = None
@@ -101,18 +111,27 @@ def forward_outputs(
         obj_span, obj_word = image_encoder_forward(
             params["img_encoder"], obj_feats)
     need_all_atten = cfg.use_obj and (tc.use_contr or not train)
-    return diora_forward(
+    out = diora_forward(
         cfg, params, x_span, x_word, obj_span=obj_span, obj_word=obj_word,
         rng=rng, train=train, with_cky=with_cky, outside=outside,
-        with_all_atten=need_all_atten)
+        with_all_atten=need_all_atten,
+        materialize_atten=(tc.attn_impl == "einsum"))
+    aux = {"x_word": x_word, "obj_span": obj_span, "obj_word": obj_word}
+    return out, aux
 
 
 def losses_from(cfg: ModelConfig, tc: TrainConfig, params, tokens,
-                neg_samples, out) -> Dict[str, jax.Array]:
+                neg_samples, out, aux=None) -> Dict[str, jax.Array]:
     """All enabled losses from forward outputs.
 
     (reference: Net.compute_loss, cliora/net/trainer.py:243-270)
     """
+    from cliora_tpu.ops.span_region import span_region_max
+    from cliora_tpu.training.losses import (
+        contrastive_loss_from_scores,
+        vg_loss_from_scores,
+    )
+
     metrics: Dict[str, jax.Array] = {}
     recon = reconstruction_loss(
         params["reconstruct"], params["embed"]["embeddings"], tokens,
@@ -120,14 +139,31 @@ def losses_from(cfg: ModelConfig, tc: TrainConfig, params, tokens,
     metrics["reconstruction_softmax_loss"] = recon
     total = recon
 
+    # fused reductions replace the materialized tensors only when the
+    # forward skipped them (train mode with attn_impl != 'einsum'); eval
+    # keeps the reference's eval-time score mixing (cliora.py:459-464)
     if tc.vg_loss and cfg.use_obj:
-        vgl = vg_loss(out.vg_atten_score, alpha_vg=tc.alpha_vg)
+        if out.vg_atten_score is None:
+            prm = span_region_max(aux["x_word"], aux["obj_word"],
+                                  tc.attn_impl)
+            vgl = vg_loss_from_scores(prm, alpha_vg=tc.alpha_vg)
+        else:
+            vgl = vg_loss(out.vg_atten_score, alpha_vg=tc.alpha_vg)
         metrics["vg_loss"] = vgl
         total = total + vgl
     if tc.use_contr and cfg.use_obj:
-        ctr = contrastive_loss(
-            out.chart.inside_s, out.chart.outside_s, out.all_atten_score,
-            margin=tc.vl_margin, alpha_contr=tc.alpha_contr)
+        if out.all_atten_score is None:
+            span_vec = out.chart.inside_h + out.chart.outside_h
+            scores = span_region_max(span_vec, aux["obj_span"],
+                                     tc.attn_impl)
+            ctr = contrastive_loss_from_scores(
+                out.chart.inside_s, out.chart.outside_s, scores,
+                margin=tc.vl_margin, alpha_contr=tc.alpha_contr)
+        else:
+            ctr = contrastive_loss(
+                out.chart.inside_s, out.chart.outside_s,
+                out.all_atten_score,
+                margin=tc.vl_margin, alpha_contr=tc.alpha_contr)
         metrics["contrastive_loss"] = ctr
         total = total + ctr
 
@@ -146,9 +182,9 @@ def compute_losses(
     train: bool = True,
 ):
     """Forward + all enabled losses; returns (total, metrics)."""
-    out = forward_outputs(cfg, tc, params, tokens, obj_feats=obj_feats,
-                          rng=rng, train=train)
-    metrics = losses_from(cfg, tc, params, tokens, neg_samples, out)
+    out, aux = forward_outputs(cfg, tc, params, tokens, obj_feats=obj_feats,
+                               rng=rng, train=train)
+    metrics = losses_from(cfg, tc, params, tokens, neg_samples, out, aux)
     return metrics["total_loss"], metrics
 
 
@@ -224,7 +260,7 @@ class Trainer:
         def parse_step(params, tokens, neg_samples, obj_feats,
                        compute_loss: bool, outside: bool,
                        with_chart: bool = False):
-            out = forward_outputs(
+            out, aux = forward_outputs(
                 cfg, tc, params, tokens, obj_feats=obj_feats, rng=None,
                 train=False, with_cky=True, outside=outside)
             res = {"cky_bp": out.chart.cky_bp}
@@ -242,7 +278,7 @@ class Trainer:
             metrics = {}
             if compute_loss:
                 metrics = losses_from(cfg, tc, params, tokens,
-                                      neg_samples, out)
+                                      neg_samples, out, aux)
             return res, metrics
 
         self._train_step = train_step

@@ -86,8 +86,9 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--validation_filter_length", default=0, type=int)
 
     # Model
+    # 'hard' = S-DIORA greedy aggregation (mlp compose + argmax split)
     p.add_argument("--arch", default="mlp",
-                   choices=("mlp", "treelstm"))
+                   choices=("mlp", "treelstm", "hard"))
     p.add_argument("--share", action="store_false")
     p.add_argument("--hidden_dim", default=400, type=int)
     p.add_argument("--normalize", default="unit",

@@ -78,3 +78,34 @@ def test_visualize_batch(tmp_path, rng):
     written = visualize_batch(atten, tokens, ["777"], boxes, idx2word,
                               img_root=root)
     assert written and os.path.exists(written[0])
+
+
+def test_spans_to_tree():
+    from cliora_tpu.analysis.trees import spans_to_tree
+
+    # ((0 1) (2 3)) over 4 tokens
+    tree = spans_to_tree([(0, 2), (2, 2), (0, 4)], list(range(4)))
+    assert tree == ((0, 1), (2, 3))
+
+
+def test_hard_aggregation_runs(rng):
+    import jax
+    import jax.numpy as jnp
+    from cliora_tpu.models.config import ModelConfig
+    from cliora_tpu.models.params import init_diora_params
+    from cliora_tpu.ops.chart_pass import run_chart
+    from cliora_tpu.ops.core import unit_norm
+
+    cfg = ModelConfig(size=16, aggregate="hard")
+    dp = init_diora_params(jax.random.PRNGKey(0), cfg)
+    x = rng.randn(2, 6, 16).astype(np.float32)
+    h0 = unit_norm(jnp.tanh(
+        x @ dp["inside_compose"]["leaf_fc"]["w"].T
+        + dp["inside_compose"]["leaf_fc"]["b"]))
+    out = run_chart(cfg, dp, h0, with_cky=True, outside=True)
+    assert np.isfinite(np.asarray(out.inside_h)).all()
+    assert np.isfinite(np.asarray(out.outside_h)).all()
+    # with hard aggregation, each cell's h is exactly the argmax split's
+    # composed vector -- s_agg equals the max split score
+    s = np.asarray(out.inside_s)[..., 0]
+    assert np.isfinite(s).all()
