@@ -55,6 +55,7 @@ def train_config_from_options(options) -> TrainConfig:
         use_contr=options.use_contr,
         alpha_contr=options.alpha_contr,
         vl_margin=options.vl_margin,
+        attn_impl=getattr(options, "attn_impl", "einsum"),
     )
 
 
@@ -67,6 +68,22 @@ def build_trainer(options, embeddings, mesh=None) -> Trainer:
     else:
         emb_arg = embeddings  # int vocab size
     trainer = Trainer.build(cfg, tc, emb_arg, seed=options.seed, mesh=mesh)
+
+    if getattr(options, "resume", None):
+        from cliora_tpu.training.checkpoint import load_opt_state
+        logger.info(f"Resuming from: {options.resume}")
+        params, missing = load_params(options.resume,
+                                      trainer.state.params)
+        assert not missing, missing
+        opt_path = options.resume.replace(".npz", ".opt.pkl")
+        opt_state = load_opt_state(opt_path, trainer.state.opt_state)
+        trainer.state = trainer.state._replace(params=params,
+                                               opt_state=opt_state)
+        if mesh is not None:
+            from cliora_tpu.parallel.mesh import replicate_tree
+            trainer.state = replicate_tree(mesh, trainer.state)
+        logger.info(f"# of params = {param_count(trainer.params)}")
+        return trainer
 
     if options.load_model_path:
         logger.info(f"Loading model: {options.load_model_path}")

@@ -22,6 +22,7 @@ import os
 import random
 
 import jax
+import jax.profiler  # noqa: F401  (used by --profile_steps)
 import numpy as np
 
 from cliora_tpu.analysis.eval import run_eval
@@ -74,7 +75,22 @@ def run_train(options, train_iterator, trainer, validation_iterator):
         batches = (bm for bm in train_iterator.get_iterator(
             random_seed=seed) if bm["length"] > 2)
         for batch_map in device_prefetch(batches, mesh=trainer.mesh):
-            result = dict(trainer.step(batch_map))
+            if options.profile_steps and step == 0:
+                jax.profiler.start_trace(
+                    os.path.join(options.experiment_path, "profile"))
+            try:
+                result = dict(trainer.step(batch_map))
+            except Exception:
+                # (reference: cliora/net/trainer.py:469-481 -- report the
+                # failing batch shape before bailing)
+                logger.info("Step failed with batch shape: {}".format(
+                    np.asarray(batch_map["sentences"]).shape))
+                raise
+            if options.profile_steps and step == options.profile_steps - 1:
+                jax.block_until_ready(trainer.state.params)
+                jax.profiler.stop_trace()
+                logger.info("Profiler trace written to {}/profile".format(
+                    options.experiment_path))
             result["length"] = batch_map["length"]
             result["batch_size"] = batch_map["batch_size"]
             experiment_logger.record(result)
@@ -137,6 +153,13 @@ def run(options):
 
 def main(args=None):
     options = parse_args(argument_parser(), args)
+    if options.world_size:
+        # explicit multi-process rendezvous (TPU pods normally self-
+        # configure; this mirrors the reference's MASTER_ADDR/PORT flags)
+        from cliora_tpu.parallel.multihost import initialize_multihost
+        initialize_multihost(
+            f"{options.master_addr}:{options.master_port}",
+            options.world_size, options.local_rank)
     configure_experiment(options.experiment_path,
                          rank=jax.process_index() or None)
     logger = get_logger()

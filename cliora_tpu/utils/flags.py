@@ -121,6 +121,18 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--finetune_after", default=0, type=int)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 matmul compute in the chart passes.")
+    p.add_argument("--attn_impl", default="einsum",
+                   choices=("einsum", "chunked", "pallas"),
+                   help="span x region score reduction "
+                        "(ops/span_region.py); fused impls never "
+                        "materialize the (B, B, cells, R) tensor.")
+    p.add_argument("--profile_steps", default=0, type=int,
+                   help="Capture a jax.profiler trace of the first N "
+                        "steps to <experiment_path>/profile.")
+    p.add_argument("--resume", default=None, type=str,
+                   help="Resume from a model.epoch_N.npz checkpoint: "
+                        "restores params AND optimizer state "
+                        "(the reference only warm-starts weights).")
 
     # Parsing
     p.add_argument("--postprocess", action="store_true")

@@ -142,3 +142,31 @@ def test_right_branch_cli(corpus, tmp_path):
     ])
     # gold spans are right-branching here, so recall-style F1 is high
     assert f1 > 0.9
+
+
+def test_resume_cli(corpus, tmp_path, monkeypatch):
+    """--resume restores params + optimizer state and keeps training."""
+    import dataclasses
+    import cliora_tpu.scripts.common as common_mod
+    from cliora_tpu.scripts import train as train_script
+    from cliora_tpu.scripts.common import model_config_from_options
+
+    def small_cfg(options, embeddings):
+        cfg = model_config_from_options(options, embeddings)
+        return dataclasses.replace(cfg, obj_feat_size=64, n_regions=3)
+
+    monkeypatch.setattr(common_mod, "model_config_from_options", small_cfg)
+
+    exp = str(tmp_path / "exp_resume")
+    args = _common_args(corpus, exp) + ["--attn_impl", "chunked"]
+    train_script.main(args + ["--max_epoch", "1"])
+    ckpt = os.path.join(exp, "model.epoch_0.npz")
+    assert os.path.exists(ckpt)
+    assert os.path.exists(ckpt.replace(".npz", ".opt.pkl"))
+
+    exp2 = str(tmp_path / "exp_resumed")
+    train_script.main(
+        _common_args(corpus, exp2)
+        + ["--attn_impl", "chunked", "--max_epoch", "1",
+           "--resume", ckpt])
+    assert os.path.exists(os.path.join(exp2, "model.epoch_0.npz"))
