@@ -195,6 +195,35 @@ class ChartIndex:
 INDEX = ChartIndex()
 
 
+def inside_index_unique(n: int, level: int) -> np.ndarray:
+    """Sorted unique flat cell indices read by the inside step at
+    ``level``: all cells of levels < level (every lower cell is some
+    target's child).
+
+    (reference: cliora/net/inside_index.py:95-128
+    ``get_inside_index_unique`` -- vestigial S-DIORA helper)
+    """
+    idx_l, idx_r = inside_index(n, level)
+    return np.unique(np.concatenate([idx_l, idx_r]))
+
+
+def topk_outside_index(n: int, level: int, K: int):
+    """(parent, sibling) indices regrouped position-major:
+    entry ``p * N + c`` (vs. the combination-major outside_index), i.e.
+    sorted by (target position, combination).
+
+    (reference: cliora/net/outside_index.py:149-185
+    ``get_topk_outside_index`` -- the K argument is unused there too;
+    kept for signature parity)
+    """
+    del K
+    par, sis = outside_index(n, level)
+    L = n - level
+    N = L - 1
+    perm = (np.arange(N * L).reshape(N, L).T).reshape(-1)
+    return par[perm], sis[perm]
+
+
 def get_catalan(n: int) -> int:
     """Number of binary trees over ``n`` leaves, capped at 5000 for n > 10.
 

@@ -25,6 +25,18 @@ SKIP_THOUGHT_DIM = 620
 ELMO_DIM = 512
 
 
+def maybe_download(remote_url: str, cache_dir: str) -> str:
+    """Fetch a URL into cache_dir unless present; local paths pass
+    through (reference: cliora/data/embeddings.py:23-27)."""
+    if not remote_url.startswith(("http://", "https://")):
+        return remote_url
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, os.path.basename(remote_url))
+    if not os.path.exists(path):
+        os.system(f"curl {remote_url} -o {path} -L")
+    return path
+
+
 def validate_word2idx(word2idx: Dict[str, int]):
     vocab = [w for w, _ in sorted(word2idx.items(), key=lambda kv: kv[1])]
     for i, w in enumerate(vocab):
@@ -121,7 +133,10 @@ def read_elmo(word2idx: Dict[str, int], cache_dir: str,
         assert emb_sorted.shape == (len(tokens), ELMO_DIM), emb_sorted.shape
     else:
         from cliora_tpu.data.elmo import embed_tokens
-        emb_sorted = embed_tokens(tokens, options_path, weights_path)
+        emb_sorted = embed_tokens(
+            tokens,
+            maybe_download(options_path, cache_dir),
+            maybe_download(weights_path, cache_dir))
         os.makedirs(cache_dir, exist_ok=True)
         np.save(path, emb_sorted)
 

@@ -102,6 +102,56 @@ class JSONLReader:
                 "metadata": {}}
 
 
+def convert_binary_bracketing(parse: str, lowercase=True):
+    """Binary-bracketed parse string -> (tokens, shift/reduce transitions).
+
+    (reference: cliora/data/reading.py:32-47)
+    """
+    transitions, tokens = [], []
+    for word in parse.split(" "):
+        if word[0] == "(":
+            continue
+        if word == ")":
+            transitions.append(1)
+        else:
+            tokens.append(word.lower() if lowercase else word)
+            transitions.append(0)
+    return tokens, transitions
+
+
+class NLIReader:
+    """SNLI-style jsonl: both sentences of each labeled pair.
+
+    (reference: cliora/data/reading.py:205-274 NLIReader/
+    NLISentenceReader)
+    """
+
+    LABEL_MAP = {"entailment": 0, "neutral": 1, "contradiction": 2}
+
+    def __init__(self, lowercase=True, filter_length=0):
+        self.lowercase = lowercase
+        self.filter_length = filter_length or 0
+
+    def read(self, path: str) -> Dict:
+        sentences, example_ids = [], []
+        with open(path) as f:
+            for line in f:
+                ex = json.loads(line)
+                if ex.get("gold_label") not in self.LABEL_MAP:
+                    continue
+                for part in ("1", "2"):
+                    s, _ = convert_binary_bracketing(
+                        ex[f"sentence{part}_binary_parse"],
+                        lowercase=self.lowercase)
+                    if not _filter_ok(s, self.filter_length):
+                        continue
+                    example_ids.append(ex["pairID"] + "_" + part)
+                    sentences.append(s)
+        return {"sentences": sentences,
+                "extra": {"example_ids": example_ids},
+                "metadata": {}}
+
+
 class ConllReader:
     """jsonl with entity spans (reference: reading.py:277-307)."""
 

@@ -109,3 +109,43 @@ def test_hard_aggregation_runs(rng):
     # composed vector -- s_agg equals the max split score
     s = np.asarray(out.inside_s)[..., 0]
     assert np.isfinite(s).all()
+
+
+def test_vestigial_index_helpers():
+    from cliora_tpu.chart.indices import (
+        inside_index,
+        inside_index_unique,
+        outside_index,
+        topk_outside_index,
+    )
+    from cliora_tpu.chart.offsets import level_offsets
+
+    n, level = 7, 3
+    uniq = inside_index_unique(n, level)
+    # exactly the cells of levels < level
+    assert uniq.tolist() == list(range(int(level_offsets(n)[level])))
+    par, sis = outside_index(n, level)
+    par2, sis2 = topk_outside_index(n, level, K=2)
+    # same multiset, position-major regrouping
+    assert sorted(zip(par.tolist(), sis.tolist())) == \
+        sorted(zip(par2.tolist(), sis2.tolist()))
+
+
+def test_nli_reader(tmp_path):
+    import json as _json
+    from cliora_tpu.data.readers import NLIReader
+
+    path = str(tmp_path / "snli.jsonl")
+    ex = {
+        "gold_label": "entailment", "pairID": "p1",
+        "sentence1_binary_parse": "( ( A dog ) runs )",
+        "sentence2_binary_parse": "( An ( animal moves ) )",
+    }
+    bad = dict(ex, gold_label="-", pairID="p2")
+    with open(path, "w") as f:
+        f.write(_json.dumps(ex) + "\n")
+        f.write(_json.dumps(bad) + "\n")
+    out = NLIReader().read(path)
+    assert out["sentences"] == [["a", "dog", "runs"],
+                                ["an", "animal", "moves"]]
+    assert out["extra"]["example_ids"] == ["p1_1", "p1_2"]
