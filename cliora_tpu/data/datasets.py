@@ -10,7 +10,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

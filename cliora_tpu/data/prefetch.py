@@ -8,7 +8,7 @@ the TPU-native replacement for the reference's DataLoader worker pool +
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import numpy as np

@@ -20,7 +20,6 @@ from cliora_tpu.ops.core import (
     linear,
     normalize,
     region_attention,
-    unit_norm,
 )
 
 

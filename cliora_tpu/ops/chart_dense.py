@@ -31,9 +31,9 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from cliora_tpu.chart.offsets import level_offsets, ncells
+
+from cliora_tpu.chart.offsets import level_offsets
 from cliora_tpu.models.config import ModelConfig
 from cliora_tpu.ops.core import bilinear, compose_mlp, normalize, region_attention
 

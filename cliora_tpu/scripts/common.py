@@ -63,11 +63,10 @@ def build_trainer(options, embeddings, mesh=None) -> Trainer:
     logger = get_logger()
     cfg = model_config_from_options(options, embeddings)
     tc = train_config_from_options(options)
-    if isinstance(embeddings, np.ndarray):
-        emb_arg = embeddings
-    else:
-        emb_arg = embeddings  # int vocab size
-    trainer = Trainer.build(cfg, tc, emb_arg, seed=options.seed, mesh=mesh)
+    # embeddings: pretrained (V, E) matrix, or an int vocab size for the
+    # trainable --emb none path
+    trainer = Trainer.build(cfg, tc, embeddings, seed=options.seed,
+                            mesh=mesh)
 
     if getattr(options, "resume", None):
         from cliora_tpu.training.checkpoint import load_opt_state

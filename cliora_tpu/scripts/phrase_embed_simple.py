@@ -7,7 +7,6 @@ Modes: ``all-spans`` (whole chart), ``latent`` (CKY tree spans),
 
 from __future__ import annotations
 
-import collections
 import os
 
 import numpy as np

@@ -18,7 +18,7 @@ cliora/net/trainer.py:400-435).
 from __future__ import annotations
 
 import pickle
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -340,8 +340,6 @@ class Trainer:
         ``outside`` default follows the reference eval toggle
         (scripts/train.py:130: off for text-only DIORA, on for CLIORA).
         """
-        import numpy as np  # noqa: F811
-
         tokens = jnp.asarray(batch_map["sentences"])
         neg = batch_map.get("neg_samples")
         neg = jnp.asarray(neg) if neg is not None else jnp.zeros(

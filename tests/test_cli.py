@@ -91,7 +91,6 @@ def _common_args(corpus, exp_path):
 
 def test_train_and_parse_cli(corpus, tmp_path, monkeypatch):
     # FlickrDataset features here are 64-d, not 2048-d
-    import cliora_tpu.models.config as config_mod
     from cliora_tpu.scripts import parse as parse_script
     from cliora_tpu.scripts import train as train_script
     from cliora_tpu.scripts.common import model_config_from_options

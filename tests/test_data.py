@@ -18,7 +18,7 @@ from cliora_tpu.data.embeddings import (
     read_glove,
 )
 from cliora_tpu.data.preprocessing import build_text_vocab, indexify
-from cliora_tpu.data.readers import FlickrReader, SyntheticReader
+from cliora_tpu.data.readers import FlickrReader
 from cliora_tpu.data.dataset import ReconstructDataset, make_batch_iterator
 from cliora_tpu.data.sampler import NegativeSampler, calculate_freq_dist
 

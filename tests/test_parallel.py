@@ -6,7 +6,6 @@ bit-consistent parameters vs. the single-device step for the same batch
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from cliora_tpu.models.config import ModelConfig

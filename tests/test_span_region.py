@@ -50,7 +50,7 @@ def test_trainer_fused_path_matches_einsum(rng):
     import dataclasses
     from cliora_tpu.models.config import ModelConfig
     from cliora_tpu.training.checkpoint import flatten
-    from cliora_tpu.training.trainer import TrainConfig, Trainer
+    from cliora_tpu.training.trainer import TrainConfig
 
     cfg = ModelConfig(size=16, input_size=24, use_obj=True, n_regions=4,
                       obj_feat_size=32, attn_dropout=0.0)

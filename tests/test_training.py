@@ -25,7 +25,6 @@ from cliora_tpu.training.losses import (
 from cliora_tpu.training.trainer import (
     TrainConfig,
     Trainer,
-    compute_losses,
     trainable_mask,
 )
 from cliora_tpu.data.sampler import NegativeSampler, calculate_freq_dist
