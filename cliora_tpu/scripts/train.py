@@ -153,6 +153,10 @@ def run(options):
 
 def main(args=None):
     options = parse_args(argument_parser(), args)
+    if options.jax_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          options.jax_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     if options.world_size:
         # explicit multi-process rendezvous (TPU pods normally self-
         # configure; this mirrors the reference's MASTER_ADDR/PORT flags)

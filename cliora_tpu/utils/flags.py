@@ -133,6 +133,11 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="Resume from a model.epoch_N.npz checkpoint: "
                         "restores params AND optimizer state "
                         "(the reference only warm-starts weights).")
+    p.add_argument("--jax_cache_dir", default=None, type=str,
+                   help="Persistent XLA compilation cache directory; "
+                        "same-length batching compiles one executable "
+                        "per sentence length, so caching across runs "
+                        "saves minutes of warmup.")
 
     # Parsing
     p.add_argument("--postprocess", action="store_true")

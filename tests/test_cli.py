@@ -169,3 +169,39 @@ def test_resume_cli(corpus, tmp_path, monkeypatch):
         + ["--attn_impl", "chunked", "--max_epoch", "1",
            "--resume", ckpt])
     assert os.path.exists(os.path.join(exp2, "model.epoch_0.npz"))
+
+
+def test_diora_to_cliora_warmstart_cli(corpus, tmp_path, monkeypatch):
+    """The reference's signature workflow: pretrain text-only DIORA,
+    then finetune CLIORA from that checkpoint (train_diora.sh ->
+    train_cliora.sh)."""
+    import dataclasses
+    import cliora_tpu.scripts.common as common_mod
+    from cliora_tpu.scripts import train as train_script
+    from cliora_tpu.scripts.common import model_config_from_options
+
+    def small_cfg(options, embeddings):
+        cfg = model_config_from_options(options, embeddings)
+        return dataclasses.replace(cfg, obj_feat_size=64, n_regions=3)
+
+    monkeypatch.setattr(common_mod, "model_config_from_options", small_cfg)
+
+    base = [
+        "--data_type", "flickr", "--emb", "none",
+        "--train_path", os.path.join(corpus, "flickr_train.json"),
+        "--validation_path", os.path.join(corpus, "flickr_test.json"),
+        "--data_path", corpus + "/",
+        "--hidden_dim", "16", "--k_neg", "4", "--batch_size", "8",
+        "--validation_batch_size", "4", "--seed", "3", "--max_epoch", "1",
+    ]
+    exp_diora = str(tmp_path / "exp_diora")
+    train_script.main(base + ["--experiment_path", exp_diora])
+    ckpt = os.path.join(exp_diora, "model.epoch_0.npz")
+    assert os.path.exists(ckpt)
+
+    exp_cliora = str(tmp_path / "exp_cliora")
+    train_script.main(base + [
+        "--experiment_path", exp_cliora,
+        "--obj_feats", "--vg_loss", "--use_contr", "--lr", "1e-5",
+        "--load_model_path", ckpt])
+    assert os.path.exists(os.path.join(exp_cliora, "model.epoch_0.npz"))
