@@ -18,14 +18,17 @@ import numpy as np
 from cliora_tpu.chart.offsets import level_offsets
 
 
-def bp_to_tree(n: int, bp_row):
+def bp_to_tree(n: int, bp_row, length=None):
     """Backpointer row -> nested tuple of leaf indices.
 
     ``bp_row[cell(level, pos)]`` = chosen split k: left child (k, pos),
-    right child (level-k-1, pos+k+1).
+    right child (level-k-1, pos+k+1).  ``length`` decodes a sentence of
+    true length ``m <= n`` from a padded length-``n`` chart (root at cell
+    ``(m-1, 0)``; every cell under it is valid).
     """
     offs = level_offsets(n)
     bp_row = np.asarray(bp_row)
+    m = n if length is None else int(length)
 
     def build(level, pos):
         if level == 0:
@@ -33,7 +36,7 @@ def bp_to_tree(n: int, bp_row):
         k = int(bp_row[offs[level] + pos])
         return (build(k, pos), build(level - k - 1, pos + k + 1))
 
-    return build(n - 1, 0)
+    return build(m - 1, 0)
 
 
 def tree_to_spans(tree):
@@ -81,51 +84,42 @@ def replace_leaves(tree, leaves):
 
 
 def get_actions(tree_str, SHIFT=0, REDUCE=1, OPEN="(", CLOSE=")"):
-    """Bracketed string -> shift/reduce actions.
+    """Bracketed string -> shift/reduce action sequence.
 
-    (reference: cliora/analysis/utils.py:3-26)
+    Tokenizes into brackets and words, then maps each word to SHIFT and
+    each closing bracket to REDUCE (binary trees: one fewer reduce than
+    shifts).  Behavior matches cliora/analysis/utils.py:3-26.
     """
-    actions = []
-    tree_str = tree_str.strip()
-    i = 0
-    num_shift = num_reduce = 0
-    while i < len(tree_str):
-        ch = tree_str[i]
-        if ch != " " and ch != OPEN and ch != CLOSE:
-            if tree_str[i - 1] == OPEN or tree_str[i - 1] == " ":
-                actions.append(SHIFT)
-                num_shift += 1
-        elif ch == CLOSE:
-            actions.append(REDUCE)
-            num_reduce += 1
-        i += 1
-    assert num_shift == num_reduce + 1
+    import re
+
+    brackets = re.escape(OPEN) + re.escape(CLOSE)
+    symbols = re.findall(rf"[{brackets}]|[^\s{brackets}]+", tree_str)
+    actions = [SHIFT if sym != CLOSE else REDUCE
+               for sym in symbols if sym != OPEN]
+    n_reduce = sum(1 for a in actions if a == REDUCE)
+    assert len(actions) == 2 * n_reduce + 1, tree_str
     return actions
 
 
 def get_spans(actions, SHIFT=0, REDUCE=1):
-    """Actions -> spans, inclusive indices.
+    """Actions -> merged spans in reduce order, inclusive indices.
 
-    (reference: cliora/analysis/utils.py:29-49)
+    Runs the shift-reduce machine over (start, end) pairs directly: a
+    shift pushes the next leaf as a unit span, a reduce merges the top
+    two.  Behavior matches cliora/analysis/utils.py:29-49.
     """
-    sent = list(range((len(actions) + 1) // 2))
     spans = []
-    pointer = 0
     stack = []
+    n_leaves = 0
     for action in actions:
         if action == SHIFT:
-            stack.append(sent[pointer])
-            pointer += 1
+            stack.append((n_leaves, n_leaves))
+            n_leaves += 1
         else:
-            right = stack.pop()
-            left = stack.pop()
-            if isinstance(left, int):
-                left = (left, None)
-            if isinstance(right, int):
-                right = (None, right)
-            new_span = (left[0], right[1])
-            spans.append(new_span)
-            stack.append(new_span)
+            (start, _), (_, end) = stack[-2], stack[-1]
+            del stack[-2:]
+            spans.append((start, end))
+            stack.append((start, end))
     return spans
 
 

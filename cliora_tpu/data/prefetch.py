@@ -16,13 +16,13 @@ import numpy as np
 DEVICE_KEYS = ("sentences", "neg_samples", "obj_feats")
 
 
-def _put(batch_map, mesh):
+def _put(batch_map, mesh, on_indivisible="error"):
     out = dict(batch_map)
     if mesh is not None:
         from cliora_tpu.parallel.mesh import shard_batch
         dev = shard_batch(mesh, {
             k: batch_map[k] for k in DEVICE_KEYS
-            if batch_map.get(k) is not None})
+            if batch_map.get(k) is not None}, on_indivisible=on_indivisible)
         out.update(dev)
         return out
     for k in DEVICE_KEYS:
@@ -33,12 +33,13 @@ def _put(batch_map, mesh):
 
 
 def device_prefetch(iterator: Iterator[dict], mesh=None,
-                    lookahead: int = 2) -> Iterator[dict]:
+                    lookahead: int = 2,
+                    on_indivisible: str = "error") -> Iterator[dict]:
     """Yield batch_maps whose device keys are already (asynchronously)
     uploaded, keeping ``lookahead`` batches in flight."""
     buf = []
     for batch_map in iterator:
-        buf.append(_put(batch_map, mesh))
+        buf.append(_put(batch_map, mesh, on_indivisible))
         if len(buf) > lookahead:
             yield buf.pop(0)
     yield from buf

@@ -43,19 +43,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree):
+def shard_batch(mesh: Mesh, tree, on_indivisible: str = "error"):
     """Device-put a host batch pytree with batch-axis sharding.
 
-    Arrays whose leading dim isn't divisible by the mesh (e.g. the shared
-    ``(k,)`` negative-sample vector) are replicated.
+    1-D arrays (shared vectors like the ``(k,)`` negative-sample ids) are
+    replicated.  Batch-like arrays (ndim >= 2) whose leading dim isn't
+    divisible by the mesh would silently replicate -- every device
+    computing the full batch -- so by default that raises; pass
+    ``on_indivisible='warn'`` (eval paths) to replicate with a warning
+    instead.
     """
+    assert on_indivisible in ("error", "warn"), on_indivisible
     n = mesh.devices.size
 
     def put(x):
         if isinstance(x, jax.Array):
             return x  # already uploaded (e.g. by device_prefetch)
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
+        if x.ndim >= 2:
+            if x.shape[0] % n != 0 or x.shape[0] == 0:
+                msg = (f"batch axis {x.shape[0]} not divisible by "
+                       f"{n}-device mesh; this would replicate the full "
+                       f"batch onto every device ({n}x wasted compute)")
+                if on_indivisible == "error":
+                    raise ValueError(msg)
+                import warnings
+                warnings.warn(msg, stacklevel=3)
+                return jax.device_put(x, replicated(mesh))
             return jax.device_put(x, batch_sharding(mesh, x.ndim))
         return jax.device_put(x, replicated(mesh))
 

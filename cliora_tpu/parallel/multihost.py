@@ -15,31 +15,54 @@ on process 0 only (scripts/train.py run_train).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 
 
+def _already_initialized() -> bool:
+    """Whether jax.distributed.initialize has already run.
+
+    Checks the distributed client state directly: reading
+    ``jax.process_count()`` would *initialize the backend*, after which
+    ``jax.distributed.initialize`` raises -- the exact ordering trap this
+    module must avoid (reference's equivalent guard:
+    cliora/net/trainer.py:528-533 checks args.multigpu before init).
+    """
+    from jax._src import distributed
+
+    return distributed.global_state.client is not None
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:
-    """Idempotent jax.distributed init.
+    """Idempotent jax.distributed init (call BEFORE any jax.devices()).
+
+    The decision to initialize is made purely from the explicit args and
+    the standard env vars (JAX_COORDINATOR_ADDRESS / NUM_PROCESSES, set
+    by TPU-pod launchers), never by querying the backend: touching
+    ``jax.process_count()`` first would initialize the single-process
+    backend and make the subsequent initialize() fail.
 
     No-op for single-process runs (the common case here) and when
     already initialized.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the environment
-    if coordinator_address is None and num_processes in (None, 1):
+    if _already_initialized():
+        return
+    env_coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    env_nproc = os.environ.get("JAX_NUM_PROCESSES")
+    multiprocess = (
+        coordinator_address is not None
+        or num_processes not in (None, 1)
+        or (env_coord is not None and env_nproc not in (None, "1")))
+    if not multiprocess:
         return  # single process; nothing to do
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e):
-            raise
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
 
 
 def is_chief() -> bool:

@@ -97,6 +97,7 @@ def forward_outputs(
     train: bool = True,
     with_cky: bool = False,
     outside=None,
+    lengths=None,
 ):
     """Embed -> image-encode -> diora forward (reference: Net.forward,
     cliora/net/trainer.py:272-304).
@@ -115,13 +116,14 @@ def forward_outputs(
         cfg, params, x_span, x_word, obj_span=obj_span, obj_word=obj_word,
         rng=rng, train=train, with_cky=with_cky, outside=outside,
         with_all_atten=need_all_atten,
-        materialize_atten=(tc.attn_impl == "einsum"))
+        materialize_atten=(tc.attn_impl == "einsum"), lengths=lengths)
     aux = {"x_word": x_word, "obj_span": obj_span, "obj_word": obj_word}
     return out, aux
 
 
 def losses_from(cfg: ModelConfig, tc: TrainConfig, params, tokens,
-                neg_samples, out, aux=None) -> Dict[str, jax.Array]:
+                neg_samples, out, aux=None,
+                lengths=None) -> Dict[str, jax.Array]:
     """All enabled losses from forward outputs.
 
     (reference: Net.compute_loss, cliora/net/trainer.py:243-270)
@@ -135,7 +137,7 @@ def losses_from(cfg: ModelConfig, tc: TrainConfig, params, tokens,
     metrics: Dict[str, jax.Array] = {}
     recon = reconstruction_loss(
         params["reconstruct"], params["embed"]["embeddings"], tokens,
-        neg_samples, out.chart.outside_h)
+        neg_samples, out.chart.outside_h, lengths=lengths)
     metrics["reconstruction_softmax_loss"] = recon
     total = recon
 
@@ -146,9 +148,11 @@ def losses_from(cfg: ModelConfig, tc: TrainConfig, params, tokens,
         if out.vg_atten_score is None:
             prm = span_region_max(aux["x_word"], aux["obj_word"],
                                   tc.attn_impl)
-            vgl = vg_loss_from_scores(prm, alpha_vg=tc.alpha_vg)
+            vgl = vg_loss_from_scores(prm, alpha_vg=tc.alpha_vg,
+                                      lengths=lengths)
         else:
-            vgl = vg_loss(out.vg_atten_score, alpha_vg=tc.alpha_vg)
+            vgl = vg_loss(out.vg_atten_score, alpha_vg=tc.alpha_vg,
+                          lengths=lengths)
         metrics["vg_loss"] = vgl
         total = total + vgl
     if tc.use_contr and cfg.use_obj:
@@ -158,12 +162,14 @@ def losses_from(cfg: ModelConfig, tc: TrainConfig, params, tokens,
                                      tc.attn_impl)
             ctr = contrastive_loss_from_scores(
                 out.chart.inside_s, out.chart.outside_s, scores,
-                margin=tc.vl_margin, alpha_contr=tc.alpha_contr)
+                margin=tc.vl_margin, alpha_contr=tc.alpha_contr,
+                lengths=lengths)
         else:
             ctr = contrastive_loss(
                 out.chart.inside_s, out.chart.outside_s,
                 out.all_atten_score,
-                margin=tc.vl_margin, alpha_contr=tc.alpha_contr)
+                margin=tc.vl_margin, alpha_contr=tc.alpha_contr,
+                lengths=lengths)
         metrics["contrastive_loss"] = ctr
         total = total + ctr
 
@@ -180,11 +186,13 @@ def compute_losses(
     obj_feats=None,
     rng=None,
     train: bool = True,
+    lengths=None,
 ):
     """Forward + all enabled losses; returns (total, metrics)."""
     out, aux = forward_outputs(cfg, tc, params, tokens, obj_feats=obj_feats,
-                               rng=rng, train=train)
-    metrics = losses_from(cfg, tc, params, tokens, neg_samples, out, aux)
+                               rng=rng, train=train, lengths=lengths)
+    metrics = losses_from(cfg, tc, params, tokens, neg_samples, out, aux,
+                          lengths=lengths)
     return metrics["total_loss"], metrics
 
 
@@ -232,11 +240,11 @@ class Trainer:
 
         @functools.partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, tokens, neg_samples, obj_feats,
-                       rng) -> tuple:
+                       rng, lengths=None) -> tuple:
             def loss_fn(p):
                 return compute_losses(
                     cfg, tc, p, tokens, neg_samples, obj_feats=obj_feats,
-                    rng=rng, train=True)
+                    rng=rng, train=True, lengths=lengths)
 
             grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
             grads = jax.tree.map(
@@ -248,10 +256,10 @@ class Trainer:
             return TrainState(params, opt_state, state.step + 1), metrics
 
         @jax.jit
-        def eval_step(params, tokens, neg_samples, obj_feats):
+        def eval_step(params, tokens, neg_samples, obj_feats, lengths=None):
             total, metrics = compute_losses(
                 cfg, tc, params, tokens, neg_samples, obj_feats=obj_feats,
-                rng=None, train=False)
+                rng=None, train=False, lengths=lengths)
             return metrics
 
         @functools.partial(
@@ -259,10 +267,11 @@ class Trainer:
             static_argnames=("compute_loss", "outside", "with_chart"))
         def parse_step(params, tokens, neg_samples, obj_feats,
                        compute_loss: bool, outside: bool,
-                       with_chart: bool = False):
+                       with_chart: bool = False, lengths=None):
             out, aux = forward_outputs(
                 cfg, tc, params, tokens, obj_feats=obj_feats, rng=None,
-                train=False, with_cky=True, outside=outside)
+                train=False, with_cky=True, outside=outside,
+                lengths=lengths)
             res = {"cky_bp": out.chart.cky_bp}
             if with_chart:
                 res["inside_h"] = out.chart.inside_h
@@ -278,12 +287,26 @@ class Trainer:
             metrics = {}
             if compute_loss:
                 metrics = losses_from(cfg, tc, params, tokens,
-                                      neg_samples, out, aux)
+                                      neg_samples, out, aux,
+                                      lengths=lengths)
             return res, metrics
+
+        @jax.jit
+        def parse_pallas(params, tokens):
+            from cliora_tpu.models.diora import leaf_transform
+            from cliora_tpu.ops.pallas_chart import fused_inside_cky_pallas
+
+            x_span, _ = embed_forward(params["embed"], tokens)
+            h0, _ = leaf_transform(cfg, params["diora"], x_span)
+            _, bp, _ = fused_inside_cky_pallas(
+                params["diora"], h0, norm=cfg.normalize,
+                compute_dtype=cfg.compute_dtype)
+            return bp
 
         self._train_step = train_step
         self._eval_step = eval_step
         self._parse_step = parse_step
+        self._parse_pallas = parse_pallas
 
     @classmethod
     def build(cls, cfg: ModelConfig, tc: TrainConfig, embeddings,
@@ -304,55 +327,87 @@ class Trainer:
                     'obj_feats': (B, R, F) float or None}
         Returns metrics dict of python floats.
         """
+        lengths = batch_map.get("lengths")
         if self.mesh is not None:
-            from cliora_tpu.parallel.mesh import shard_batch
+            from cliora_tpu.parallel.mesh import (
+                batch_sharding,
+                shard_batch,
+            )
             sharded = shard_batch(self.mesh, {
                 k: batch_map[k]
                 for k in ("sentences", "neg_samples", "obj_feats")
-                if batch_map.get(k) is not None})
+                if batch_map.get(k) is not None},
+                on_indivisible="error" if train else "warn")
             tokens = sharded["sentences"]
             neg = sharded["neg_samples"]
             obj = sharded.get("obj_feats")
+            if lengths is not None and not isinstance(lengths, jax.Array):
+                # (B,) but batch-sharded, unlike other 1-D (shared) arrays
+                lengths = jax.device_put(
+                    np.asarray(lengths, np.int32),
+                    batch_sharding(self.mesh, 1))
         else:
             tokens = jnp.asarray(batch_map["sentences"])
             neg = jnp.asarray(batch_map["neg_samples"])
             obj = batch_map.get("obj_feats")
             obj = jnp.asarray(obj) if obj is not None else None
+            if lengths is not None:
+                lengths = jnp.asarray(lengths, jnp.int32)
         if train:
             if rng is None:
                 rng = jax.random.fold_in(self._host_rng, self._host_step)
                 self._host_step += 1
             self.state, metrics = self._train_step(
-                self.state, tokens, neg, obj, rng)
+                self.state, tokens, neg, obj, rng, lengths)
         else:
-            metrics = self._eval_step(self.params, tokens, neg, obj)
+            metrics = self._eval_step(self.params, tokens, neg, obj,
+                                      lengths)
         # Metrics stay device-resident: converting here would force a sync
         # every step and serialize the host->device pipeline (float() them
         # when logging).
         return metrics
 
     def parse(self, batch_map: Dict[str, Any], compute_loss: bool = False,
-              outside: Optional[bool] = None, with_chart: bool = False):
+              outside: Optional[bool] = None, with_chart: bool = False,
+              impl: Optional[str] = None):
         """Eval forward with fused CKY.  Returns (res, metrics) where res
         holds numpy ``cky_bp`` (B, ncells) and, for CLIORA,
         ``atten_score`` (B, L, R) / ``span_scores`` (B, ncells, R).
 
         ``outside`` default follows the reference eval toggle
         (scripts/train.py:130: off for text-only DIORA, on for CLIORA).
+        ``impl`` overrides cfg.parse_impl; 'pallas' routes the text-only
+        decode through the fused VMEM-resident kernel when it supports
+        the shape (ops/pallas_chart.py).
         """
+        impl = impl or self.cfg.parse_impl
+        if (impl == "pallas" and not compute_loss and not with_chart
+                and not self.cfg.use_obj
+                and batch_map.get("lengths") is None):
+            from cliora_tpu.ops.pallas_chart import supports
+
+            tokens_np = np.asarray(batch_map["sentences"])
+            B, L = tokens_np.shape
+            if supports(L, self.cfg.size, B):
+                bp = self._parse_pallas(self.params,
+                                        jnp.asarray(tokens_np))
+                return {"cky_bp": np.asarray(bp)}, {}
         tokens = jnp.asarray(batch_map["sentences"])
         neg = batch_map.get("neg_samples")
         neg = jnp.asarray(neg) if neg is not None else jnp.zeros(
             (1,), jnp.int32)
         obj = batch_map.get("obj_feats")
         obj = jnp.asarray(obj) if obj is not None else None
+        lengths = batch_map.get("lengths")
+        if lengths is not None:
+            lengths = jnp.asarray(lengths, jnp.int32)
         if outside is None:
             outside = self.cfg.use_obj
         if compute_loss:
             outside = True  # losses need the outside chart
         res, metrics = self._parse_step(
             self.params, tokens, neg, obj, compute_loss=compute_loss,
-            outside=outside, with_chart=with_chart)
+            outside=outside, with_chart=with_chart, lengths=lengths)
         res = {k: np.asarray(v) for k, v in res.items()}
         return res, {k: float(v) for k, v in metrics.items()}
 

@@ -149,3 +149,26 @@ def test_nli_reader(tmp_path):
     assert out["sentences"] == [["a", "dog", "runs"],
                                 ["an", "animal", "moves"]]
     assert out["extra"]["example_ids"] == ["p1_1", "p1_2"]
+
+
+def test_actions_spans_roundtrip_random_trees(rng):
+    """Property: tree -> string -> actions -> spans == tree_to_spans."""
+    from cliora_tpu.analysis.trees import (
+        get_actions,
+        get_spans,
+        tree_to_spans,
+        tree_to_string,
+    )
+
+    def random_tree(leaves):
+        if len(leaves) == 1:
+            return leaves[0]
+        k = rng.randint(1, len(leaves))
+        return (random_tree(leaves[:k]), random_tree(leaves[k:]))
+
+    for n in [2, 3, 5, 9, 14]:
+        for _ in range(10):
+            tree = random_tree(list(range(n)))
+            words = [f"w{i}" for i in range(n)]
+            actions = get_actions(tree_to_string(tree, words))
+            assert get_spans(actions) == tree_to_spans(tree)

@@ -58,6 +58,17 @@ def test_dp_batch_actually_sharded(rng):
     assert batch["neg_samples"].sharding.spec == jax.sharding.PartitionSpec()
 
 
+def test_shard_batch_indivisible_raises(rng):
+    mesh = make_mesh(8)
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch(mesh, _batch(rng, 15, 6))
+    with pytest.warns(UserWarning, match="not divisible"):
+        batch = shard_batch(mesh, _batch(rng, 15, 6), on_indivisible="warn")
+    assert batch["sentences"].sharding.spec == jax.sharding.PartitionSpec()
+
+
 def test_dp_cliora_step_runs(rng):
     cfg = ModelConfig(size=D, input_size=E, use_obj=True, n_regions=4,
                       obj_feat_size=32)
