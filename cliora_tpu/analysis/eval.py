@@ -13,13 +13,15 @@ from cliora_tpu.analysis.grounding import GroundingMeter, ground_phrases
 from cliora_tpu.analysis.trees import F1Meter, bp_to_tree, tree_to_spans
 
 
-def eval_batch_trees(bp: np.ndarray, length: int):
+def eval_batch_trees(bp: np.ndarray, length: int, padded_length=None):
     """Backpointer rows -> (tree, pred_span_set) per example; the root span
     is dropped for F1, as the reference does
-    (scripts/train.py:187-189)."""
+    (scripts/train.py:187-189).  ``padded_length`` decodes from a padded
+    length-bucket chart (layout ``padded_length``, root at ``length``)."""
+    n = padded_length or length
     out = []
     for row in bp:
-        tree = bp_to_tree(length, row)
+        tree = bp_to_tree(n, row, length=length)
         spans = set(tree_to_spans(tree)[:-1])
         out.append((tree, spans))
     return out
@@ -55,7 +57,8 @@ def run_eval(trainer, iterator, seed: int = 11,
                 grounding.update(ground_res)
 
         for bid, (tree, pred_spans) in enumerate(
-                eval_batch_trees(res["cky_bp"][:real], length)):
+                eval_batch_trees(res["cky_bp"][:real], length,
+                                 batch_map.get("padded_length"))):
             gold_spans = set(batch_map["GT"][bid][:-1])
             f1.update(pred_spans, gold_spans)
 

@@ -46,6 +46,20 @@ def cell_index(n: int, level, pos):
     return ncells(n) - rem * (rem + 1) // 2 + pos
 
 
+def cell_coords(n: int):
+    """``(levels, positions)`` of every flat cell, each ``(ncells,)`` int32.
+
+    Closed-form companion to :func:`cell_index`; used to build per-example
+    validity masks for padded length buckets (a sentence of true length
+    ``m`` padded to ``n`` only owns cells with ``pos + level + 1 <= m``).
+    """
+    offsets = level_offsets(n)
+    idx = np.arange(ncells(n), dtype=np.int64)
+    levels = np.searchsorted(offsets, idx, side="right") - 1
+    positions = idx - offsets[levels]
+    return levels.astype(np.int32), positions.astype(np.int32)
+
+
 def cell_span(n: int, index):
     """Inverse of :func:`cell_index`: flat index -> ``(start, end)`` span."""
     index = np.asarray(index, dtype=np.int64)

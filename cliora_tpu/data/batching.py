@@ -20,6 +20,31 @@ import numpy as np
 from cliora_tpu.data.sampler import NegativeSampler
 
 
+def choose_buckets(lengths, n_buckets: int):
+    """Pick <= n_buckets padded lengths covering the corpus.
+
+    Equal-mass quantiles over the example lengths, always including the
+    maximum, so frequent lengths pad little and the compile count drops
+    from #distinct-lengths to #buckets (the XLA-native replacement for
+    one-program-per-length, cliora/data/dataloader.py:11-113).
+    """
+    lengths = np.asarray(sorted(lengths))
+    if len(lengths) == 0:
+        return []
+    qs = np.linspace(0, 1, n_buckets + 1)[1:]
+    idx = np.minimum((qs * len(lengths)).astype(int), len(lengths) - 1)
+    return sorted(set(int(lengths[i]) for i in idx))
+
+
+def bucket_for(buckets, length: int) -> int:
+    """Smallest bucket >= length (lengths beyond the last bucket were
+    filtered upstream; fall back to the length itself)."""
+    for b in buckets:
+        if b >= length:
+            return b
+    return length
+
+
 class FixedLengthBatchSampler:
     """Yields lists of example indices, all of identical token length.
 
@@ -88,7 +113,7 @@ class BatchIterator:
             include_partial: bool = False, filter_length: Optional[int] = None,
             length_to_size=None, process_index: int = 0,
             process_count: int = 1, prefetch: int = 4,
-            pad_batches: bool = False):
+            pad_batches: bool = False, length_buckets=None):
         self.dataset = dataset
         self.extra = extra or {}
         self.negative_sampler = negative_sampler
@@ -106,6 +131,14 @@ class BatchIterator:
         # records how many leading rows are genuine; evaluation loops
         # must ignore the padding rows.
         self.pad_batches = pad_batches
+        # Masked length-bucketing: pad each (same-length) batch's token
+        # array up to the smallest bucket length and emit a ``lengths``
+        # vector; the model masks pad cells out of the outside pass and
+        # losses (ops/chart_pass.py outside_pass, training/losses.py).
+        # Batch *composition* is untouched, so losses match the unbucketed
+        # run while XLA compiles one program per bucket, not per length.
+        self.length_buckets = (sorted(length_buckets)
+                               if length_buckets else None)
         self.word2idx = None  # set by make_batch_iterator
 
     # -- reference-parity introspection helpers (batch_iterator.py:68-80) --
@@ -132,13 +165,24 @@ class BatchIterator:
             batch_index = list(batch_index) + reps
         rows = [self.dataset[i] for i in batch_index]
         index, sents, obj_feats, boxes, obj_cates = zip(*rows)
+        sentences = np.asarray(sents, dtype=np.int32)
         batch_map = {
             "index": list(index),
-            "sentences": np.asarray(sents, dtype=np.int32),
+            "sentences": sentences,
             "obj_feats": np.asarray(obj_feats),
             "boxes": np.asarray(boxes),
             "obj_cates": np.asarray(obj_cates),
         }
+        if self.length_buckets is not None:
+            true_len = sentences.shape[1]
+            padded_len = bucket_for(self.length_buckets, true_len)
+            if padded_len > true_len:
+                pad = np.zeros(
+                    (sentences.shape[0], padded_len - true_len), np.int32)
+                batch_map["sentences"] = np.concatenate(
+                    [sentences, pad], axis=1)
+            batch_map["lengths"] = np.full(
+                sentences.shape[0], true_len, np.int32)
         for k, v in self.extra.items():
             batch_map[k] = [v[i] for i in index]
 
@@ -156,7 +200,12 @@ class BatchIterator:
         B, L = batch_map["sentences"].shape
         batch_map["batch_size"] = B
         batch_map["real_size"] = min(real_size, B)
-        batch_map["length"] = L
+        # "length" stays the TRUE sentence length (uniform per batch) so
+        # decode/eval consumers are bucket-agnostic; the padded array
+        # width is "padded_length".
+        batch_map["length"] = (int(batch_map["lengths"][0])
+                               if "lengths" in batch_map else L)
+        batch_map["padded_length"] = L
         if self.negative_sampler is not None:
             batch_map["neg_samples"] = self.negative_sampler.sample(
                 self.k_neg)

@@ -119,11 +119,17 @@ class ConsolidateDatasets:
                 old2master[idx] = master[w]
             old2master_lst.append(old2master)
 
-        size = self.datasets[0]["embeddings"].shape[1]
-        embeddings = np.zeros((len(master), size), dtype=np.float32)
-        for dset, old2master in zip(self.datasets, old2master_lst):
-            src, dst = zip(*old2master.items())
-            embeddings[np.asarray(dst)] = dset["embeddings"][np.asarray(src)]
+        if isinstance(self.datasets[0]["embeddings"], int):
+            # --emb none: "embeddings" is the trainable-table vocab size
+            # (data/embeddings.py get_embeddings); only the vocab merges
+            embeddings = len(master)
+        else:
+            size = self.datasets[0]["embeddings"].shape[1]
+            embeddings = np.zeros((len(master), size), dtype=np.float32)
+            for dset, old2master in zip(self.datasets, old2master_lst):
+                src, dst = zip(*old2master.items())
+                embeddings[np.asarray(dst)] = \
+                    dset["embeddings"][np.asarray(src)]
 
         for dset, old2master in zip(self.datasets, old2master_lst):
             dset["sentences"] = [[old2master[i] for i in s]
@@ -136,11 +142,26 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
                         filter_length=0, batch_size=None,
                         length_to_size=None, mode: str = "train",
                         data_path: Optional[str] = None,
-                        pad_batches: bool = False) -> BatchIterator:
+                        pad_batches: bool = False,
+                        length_buckets=None) -> BatchIterator:
     """(reference: cliora/data/dataset.py:127-160)"""
     sentences = dset["sentences"]
     word2idx = dset["word2idx"]
     extra = dset["extra"]
+
+    # Auto-bucketing applies to the TRAIN iterator only: the analysis /
+    # eval scripts index charts by exact length (run_eval itself is
+    # padded-aware, but parse/phrase_embed chart dumps are not).
+    if length_buckets is None and mode == "train":
+        explicit = getattr(options, "length_buckets", None)
+        if explicit:
+            length_buckets = [int(x) for x in str(explicit).split(",")]
+        elif getattr(options, "n_length_buckets", 0):
+            from cliora_tpu.data.batching import choose_buckets
+            lens = [len(s) for s in sentences
+                    if not filter_length or len(s) <= filter_length]
+            length_buckets = choose_buckets(
+                lens, options.n_length_buckets)
 
     negative_sampler = NegativeSampler(
         freq_dist=calculate_freq_dist(sentences, len(word2idx)),
@@ -168,6 +189,7 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
         length_to_size=length_to_size,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
-        pad_batches=pad_batches)
+        pad_batches=pad_batches,
+        length_buckets=length_buckets)
     it.word2idx = word2idx
     return it

@@ -92,6 +92,7 @@ def diora_forward(
     outside: Optional[bool] = None,
     with_all_atten: bool = True,
     materialize_atten: bool = True,
+    lengths=None,
 ) -> DioraOutput:
     """Run the full inside-outside recursion (+ CLIORA attention scores).
 
@@ -103,6 +104,8 @@ def diora_forward(
         scripts/train.py:130).
       with_all_atten: materialize the B^2 span x region score (needed for
         the contrastive loss and eval; skippable for cheap fwd).
+      lengths: (B,) true sentence lengths for padded length buckets
+        (None = every sentence fills the chart).
     """
     dp = params["diora"]
     run_outside = cfg.outside if outside is None else outside
@@ -111,7 +114,7 @@ def diora_forward(
                             train=train)
     chart = run_chart(
         cfg, dp, h0, c0=c0, obj=obj_span, rng=rng, train=train,
-        with_cky=with_cky, outside=run_outside)
+        with_cky=with_cky, outside=run_outside, lengths=lengths)
 
     all_atten = vg_atten = atten = None
     if cfg.use_obj and train and not materialize_atten:

@@ -48,8 +48,12 @@ class InsideOut(NamedTuple):
     cky_val: Optional[jax.Array]   # (B, ncells) CKY chart values
 
 
+def compute_dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 def _compose(cfg: ModelConfig, cp, lh, rh, lc, rc):
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    dtype = compute_dtype(cfg)
     if cfg.arch == "treelstm":
         return compose_treelstm(cp, (lh, lc), (rh, rc), compute_dtype=dtype)
     return compose_mlp(cp, lh, rh, compute_dtype=dtype), None
@@ -97,7 +101,8 @@ def inside_pass(
 
         h, c = _compose(cfg, cp, lh, rh, lc, rc)
 
-        s_bil = bilinear(mat, lh, rh)                # (B, L*N)
+        s_bil = bilinear(mat, lh, rh,
+                         compute_dtype=compute_dtype(cfg))   # (B, L*N)
         ls = jnp.take(inside_s, idx_l, axis=1)[..., 0]
         rs = jnp.take(inside_s, idx_r, axis=1)[..., 0]
         s = (s_bil + ls + rs).reshape(B, L, N)
@@ -116,7 +121,8 @@ def inside_pass(
             lrng = jax.random.fold_in(rng, level) if rng is not None else None
             cxt = region_attention(
                 h_agg, obj, temp=cfg.attn_temp,
-                dropout=cfg.attn_dropout, rng=lrng, train=train)
+                dropout=cfg.attn_dropout, rng=lrng, train=train,
+                compute_dtype=compute_dtype(cfg))
             h_agg = normalize(cfg.normalize, h_agg + cxt)
 
         off = int(offs[level])
@@ -139,12 +145,37 @@ def inside_pass(
     return inside_h, inside_s, inside_c, cky_bp, cky_val
 
 
+MASK_NEG = -1e9  # finite -inf stand-in: keeps masked-softmax grads NaN-free
+
+
+def _outside_masks(level: int, n: int, lengths):
+    """Per-example validity masks at ``level`` for padded length buckets.
+
+    ``combo_ok (B, N, L)``: the (parent, sibling) derivation's parent span
+    lies inside ``[0, m)``  (same math as chart/indices.py outside_mask,
+    but traced over the per-sentence lengths).
+    ``target_ok (B, L)``: the target is a valid *non-root* cell -- the
+    true root (level ``m-1``, pos 0) keeps its init value.
+    """
+    L = n - level
+    N = L - 1
+    m = lengths[:, None]                           # (B, 1)
+    p = jnp.arange(L, dtype=jnp.int32)[None, :]    # (1, L)
+    c = jnp.arange(N, dtype=jnp.int32)[:, None]    # (N, 1)
+    j = p + level + 1                              # exclusive span end
+    par_end = jnp.where(c < p, jnp.broadcast_to(j, (N, L)), j + c - p + 1)
+    combo_ok = par_end[None] <= m[..., None]       # (B, N, L)
+    target_ok = (j <= m) & (level < m - 1)         # (B, L)
+    return combo_ok, target_ok
+
+
 def outside_pass(
     cfg: ModelConfig,
     dp,
     inside_h,
     inside_s,
     inside_c=None,
+    lengths=None,
 ):
     """Top-down pass mirroring :func:`inside_pass`.
 
@@ -152,6 +183,14 @@ def outside_pass(
     *inside* chart; compose input order is [sibling; parent] and the
     derivation softmax runs over the N parent/sibling combinations
     (reference: cliora/net/diora.py:152-200,337-376).
+
+    ``lengths`` (B,) int32 enables padded length buckets: each sentence of
+    true length ``m <= n`` reuses this length-``n`` program -- its root
+    vector is planted at the true root cell ``(m-1, 0)``, derivations whose
+    parent leaves ``[0, m)`` are masked out of the combo softmax, and
+    invalid/root cells keep their prior values.  (Supersedes the
+    reference's one-program-per-exact-length discipline,
+    cliora/data/dataloader.py:11-113.)
     """
     B, NC, D = inside_h.shape
     # invert ncells = n(n+1)/2
@@ -159,19 +198,31 @@ def outside_pass(
     assert ncells(n) == NC
     offs = level_offsets(n)
     use_c = cfg.arch == "treelstm"
+    if lengths is not None:
+        assert not use_c, "padded buckets support the mlp arch only"
 
     cp = dp.get("outside_compose", dp["inside_compose"])
     mat = dp.get("outside_score", dp["inside_score"])["mat"]
 
-    # Root initialization (reference: cliora/net/diora.py:337-356).
+    # Root initialization (reference: cliora/net/diora.py:337-356),
+    # at the true per-example root cell when padded.
+    if lengths is None:
+        root_in = inside_h[:, -1]                       # (B, D)
+    else:
+        root_cell = jnp.asarray(offs, jnp.int32)[lengths - 1]   # (B,)
+        root_in = inside_h[jnp.arange(B), root_cell]
     if cfg.compress:
-        root_h = inside_h[:, -1:] @ dp["root_mat_out"]
+        root_h = root_in @ dp["root_mat_out"]
     else:
         root_h = jnp.broadcast_to(
-            dp["root_vector_out_h"].reshape(1, 1, D), (B, 1, D))
+            dp["root_vector_out_h"].reshape(1, D), (B, D))
     root_h = normalize(cfg.normalize, root_h)
 
-    outside_h = jnp.zeros((B, NC, D), jnp.float32).at[:, -1:].set(root_h)
+    outside_h = jnp.zeros((B, NC, D), jnp.float32)
+    if lengths is None:
+        outside_h = outside_h.at[:, -1].set(root_h)
+    else:
+        outside_h = outside_h.at[jnp.arange(B), root_cell].set(root_h)
     outside_s = jnp.zeros((B, NC, 1), jnp.float32)
     outside_c = jnp.zeros((B, NC, D), jnp.float32) if use_c else None
 
@@ -186,10 +237,14 @@ def outside_pass(
 
         h, c = _compose(cfg, cp, sh, ph, sc, pc)
 
-        s_bil = bilinear(mat, sh, ph)                # (B, N*L)
+        s_bil = bilinear(mat, sh, ph,
+                         compute_dtype=compute_dtype(cfg))   # (B, N*L)
         ps_ = jnp.take(outside_s, par_idx, axis=1)[..., 0]
         ss_ = jnp.take(inside_s, sis_idx, axis=1)[..., 0]
         s = (s_bil + ss_ + ps_).reshape(B, N, L)
+        if lengths is not None:
+            combo_ok, target_ok = _outside_masks(level, n, lengths)
+            s = jnp.where(combo_ok, s, MASK_NEG)
         if cfg.aggregate == "hard":
             p = jax.nn.one_hot(jnp.argmax(s, 1), N, dtype=s.dtype,
                                axis=1)
@@ -202,6 +257,14 @@ def outside_pass(
         h_agg = normalize(cfg.normalize, h_agg)
 
         off = int(offs[level])
+        if lengths is not None:
+            # invalid targets and the true root keep their prior values
+            # (no stop_gradient: the root cell's grad must reach the
+            # root vector / compress matrix)
+            h_agg = jnp.where(target_ok[..., None], h_agg,
+                              outside_h[:, off:off + L])
+            s_agg = jnp.where(target_ok, s_agg,
+                              outside_s[:, off:off + L, 0])
         outside_h = outside_h.at[:, off:off + L].set(h_agg)
         outside_s = outside_s.at[:, off:off + L].set(s_agg[..., None])
         if use_c:
@@ -222,19 +285,25 @@ def run_chart(
     train: bool = False,
     with_cky: bool = False,
     outside: bool = True,
+    lengths=None,
 ) -> InsideOut:
-    if cfg.chart_impl == "dual" and cfg.arch == "mlp":
-        return _run_chart_dual(cfg, dp, h0, obj=obj, rng=rng, train=train,
-                               with_cky=with_cky, outside=outside)
-    if cfg.chart_impl == "dense" and cfg.arch == "mlp":
-        return _run_chart_dense(cfg, dp, h0, obj=obj, rng=rng, train=train,
-                                with_cky=with_cky, outside=outside)
+    if lengths is None:
+        if cfg.chart_impl == "dual" and cfg.arch == "mlp":
+            return _run_chart_dual(cfg, dp, h0, obj=obj, rng=rng,
+                                   train=train, with_cky=with_cky,
+                                   outside=outside)
+        if cfg.chart_impl == "dense" and cfg.arch == "mlp":
+            return _run_chart_dense(cfg, dp, h0, obj=obj, rng=rng,
+                                    train=train, with_cky=with_cky,
+                                    outside=outside)
+    # padded length buckets run the flat impl (inside values of valid
+    # cells depend only on valid cells, so the inside pass needs no mask)
     inside_h, inside_s, inside_c, bp, val = inside_pass(
         cfg, dp, h0, c0=c0, obj=obj, rng=rng, train=train, with_cky=with_cky)
     outside_h = outside_s = outside_c = None
     if outside:
         outside_h, outside_s, outside_c = outside_pass(
-            cfg, dp, inside_h, inside_s, inside_c=inside_c)
+            cfg, dp, inside_h, inside_s, inside_c=inside_c, lengths=lengths)
     return InsideOut(inside_h, inside_s, inside_c,
                      outside_h, outside_s, outside_c, bp, val)
 

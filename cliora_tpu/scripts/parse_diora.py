@@ -47,7 +47,8 @@ def run(options):
                                    outside=False)
             real = batch_map.get("real_size", batch_map["batch_size"])
             for bid, (tree, pred_spans) in enumerate(
-                    eval_batch_trees(res["cky_bp"][:real], length)):
+                    eval_batch_trees(res["cky_bp"][:real], length,
+                                     batch_map.get("padded_length"))):
                 gold_spans = set(batch_map["GT"][bid][:-1])
                 f1.update(pred_spans, gold_spans)
                 example_id = batch_map["example_ids"][bid]

@@ -112,6 +112,14 @@ def argument_parser() -> argparse.ArgumentParser:
     # Training
     p.add_argument("--batch_size", default=10, type=int)
     p.add_argument("--length_to_size", default=None, type=str)
+    p.add_argument("--length_buckets", default=None, type=str,
+                   help="comma-separated padded lengths, e.g. '10,20,40': "
+                        "batches pad up to the next bucket and mask the "
+                        "pad cells -- one compiled program per bucket "
+                        "instead of per exact length.")
+    p.add_argument("--n_length_buckets", default=0, type=int,
+                   help="auto-pick this many length buckets from the "
+                        "corpus length histogram (0 = off).")
     p.add_argument("--train_dataset_size", default=None, type=int)
     p.add_argument("--validation_dataset_size", default=None, type=int)
     p.add_argument("--validation_batch_size", default=None, type=int)
@@ -121,6 +129,11 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--finetune_after", default=0, type=int)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 matmul compute in the chart passes.")
+    p.add_argument("--parse_impl", default="xla",
+                   choices=("xla", "pallas"),
+                   help="CKY decode path: fused-in-XLA (default, faster;"
+                        " measured in ops/pallas_chart.py) or the fully"
+                        " fused Pallas kernel.")
     p.add_argument("--attn_impl", default="einsum",
                    choices=("einsum", "chunked", "pallas"),
                    help="span x region score reduction "
