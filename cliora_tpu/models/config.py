@@ -34,6 +34,11 @@ class ModelConfig:
     # split only (the S-DIORA greedy variant -- selectable but never
     # shipped in the reference: cliora/net/trainer.py:525 raises)
     aggregate: str = "soft"
+    # 'xla' (default): fused inside+CKY in the XLA chart pass (faster,
+    # measured; see ops/pallas_chart.py STATUS).  'pallas': the fully
+    # fused single-dispatch VMEM-resident kernel, used when
+    # pallas_chart.supports() holds (text-only decode path).
+    parse_impl: str = "xla"
 
     def __post_init__(self):
         assert self.arch in ("mlp", "treelstm"), self.arch
@@ -43,3 +48,4 @@ class ModelConfig:
         assert self.aggregate in ("soft", "hard"), self.aggregate
         if self.aggregate == "hard":
             assert self.chart_impl == "flat", "hard aggregation: flat only"
+        assert self.parse_impl in ("xla", "pallas"), self.parse_impl

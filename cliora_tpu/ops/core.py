@@ -54,15 +54,21 @@ def compose_mlp(cp, left_h, right_h, compute_dtype=jnp.float32):
     return h.astype(jnp.float32)
 
 
-def bilinear(mat, a, b):
+def bilinear(mat, a, b, compute_dtype=jnp.float32):
     """Split-compatibility score ``s = a^T M b`` per row.
 
+    The (M, D) x (D, D) matmul runs in ``compute_dtype`` (bf16 rides the
+    MXU at full rate) with f32 accumulation; the elementwise product and
+    lane reduction stay f32.
     (reference: cliora/net/diora.py:77-97 ``Bilinear``)
     """
-    return jnp.sum((a @ mat) * b, axis=-1)
+    am = jnp.matmul(a.astype(compute_dtype), mat.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+    return jnp.sum(am * b, axis=-1)
 
 
-def region_attention(h, obj, *, temp=1.0, dropout=0.0, rng=None, train=False):
+def region_attention(h, obj, *, temp=1.0, dropout=0.0, rng=None, train=False,
+                     compute_dtype=jnp.float32):
     """Single-head cross-attention from span vectors to object regions.
 
     Per-example only (the reference computes a B x B einsum and takes the
@@ -75,13 +81,17 @@ def region_attention(h, obj, *, temp=1.0, dropout=0.0, rng=None, train=False):
     Returns:
       cxt: (B, L, D) attended visual context.
     """
-    score = jnp.einsum("bld,brd->blr", h, obj) / temp
+    score = jnp.einsum("bld,brd->blr", h.astype(compute_dtype),
+                       obj.astype(compute_dtype),
+                       preferred_element_type=jnp.float32) / temp
     prob = jax.nn.softmax(score, axis=-1)
     if train and dropout > 0.0:
         assert rng is not None, "dropout requires an rng key"
         keep = jax.random.bernoulli(rng, 1.0 - dropout, prob.shape)
         prob = jnp.where(keep, prob / (1.0 - dropout), 0.0)
-    return jnp.einsum("blr,brd->bld", prob, obj)
+    return jnp.einsum("blr,brd->bld", prob.astype(compute_dtype),
+                      obj.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
 
 
 def compose_treelstm(cp, left, right, compute_dtype=jnp.float32):

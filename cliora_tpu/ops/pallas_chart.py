@@ -2,42 +2,53 @@
 
 One kernel invocation runs the whole bottom-up recursion for a block of
 ``BB`` sentences with the charts resident in VMEM: zero HBM traffic
-between levels and a single dispatch, vs. ~19 gather/compose/scatter
-rounds through HBM for the XLA paths.
-
-Layouts inside the kernel (chosen so nothing ever needs a Mosaic
-transpose, reverse, or sublane-axis reduction):
-
-  * h chart: ``(n, n*BB, D)`` with column ``pos*BB + b``.  For split k
-    of level l, BOTH children are single-row contiguous slices:
-    left = h[k, 0 : L*BB], right = h[level-k-1, (k+1)*BB : (k+1)*BB+L*BB]
-    -- staged per split into one ``(N*L*BB, 2D)`` buffer for a single
-    MXU matmul chain per level.
-  * score / CKY charts: TRANSPOSED ``(n*BB, n)`` column layout, so
-    per-split scores line up with the matmul rows as ``(M, 1)`` columns:
-    the split softmax, weighted aggregate, and CKY argmax are short
-    unrolled loops over splits of pure ``(M, 1)`` column ops, and the
-    only reductions are lane reductions (bilinear dot, unit-norm).
-
-Outputs are the split scores, CKY backpointers and values -- exactly
-what tree decoding needs (the parse path never reads the h chart);
-keeping h internal leaves the working set in VMEM for n <= ~22 at BB=8.
-
-Inference-only (no VJP is defined -- differentiating through it raises);
-training keeps the XLA implementation.  (reference equivalent: the
-inside half of cliora/net/diora.py:295-335 + the host-side CKY of
+between levels and a single dispatch, vs. ~n gather/compose/scatter
+rounds through HBM for the XLA paths.  (reference equivalent: the inside
+half of cliora/net/diora.py:295-335 + the host-side CKY of
 cliora/analysis/cky.py:31-99, here fused on device.)
 
-STATUS: experimental.  Numerically verified against the XLA path (tests/
-test_pallas_chart.py, interpret mode).  On real v5e hardware the Mosaic
-compiler currently rejects it at production sizes (n=20, D=400): stack
-slots for the per-level value temporaries are not reused across the
-unrolled level loop, so scoped VMEM wants sum-over-levels (~27 MB)
-instead of max-over-levels (~5 MB).  A fori_loop + masked fixed-size
-level body would fix this at ~1.4x redundant compute; not worth it yet --
-the XLA inside+CKY forward already runs at 3.6 ms for B=64/n=20/D=400,
-and eval is not the bottleneck.  Kept as the starting point for future
-kernel work; use supports() before calling on TPU.
+Structure (v2 -- compiles at production sizes):
+
+  * ONE ``fori_loop`` over levels and one over splits, so Mosaic
+    allocates the per-iteration temporaries once (VMEM stack is
+    max-over-iterations).  v1 unrolled both loops in Python and the
+    stack summed across iterations (~27 MB at n=20, D=400 -- rejected
+    by Mosaic; see tests/test_pallas_chart.py history).
+  * All tiles are FIXED size ``Mmax = (n-1)*BB`` rows.  Rows beyond the
+    level's true ``M = (n-level)*BB`` compute garbage, but garbage cells
+    are only ever read by other garbage cells (a span [p, p+l+1) with
+    p < n-l only gathers children with in-range positions), so no
+    masking is needed -- the same invariant the padded-length XLA path
+    uses (ops/chart_pass.py).
+  * h chart: ``(n, n*BB, D)``, column ``pos*BB + b``.  Left child of
+    split k is the row-k prefix; the right child needs rows shifted by
+    ``r0 = (k+1)*BB``, done with a dynamic ``pltpu.roll`` of the full
+    row (cheap VPU shuffle) -- no transposes, no reverses.
+  * splits accumulate ONLINE (flash-attention style): running max,
+    exp-sum, weighted h/s sums, and raw CKY best/argmax live in scratch
+    refs; the final normalize divides once per level.  CKY values are
+    re-based by the split max at the end (the reference max-normalizes
+    per cell, cliora/analysis/utils.py:78-95) -- the argmax itself is
+    shift-invariant.
+  * score/CKY-value/backpointer charts share ONE ``(n, n*BB, 128)``
+    f32 buffer (lanes 0/1/2) -- a (x, 1) column pads to 128 lanes
+    anyway, so packing three charts into one buffer saves 2/3 of that
+    VMEM.
+
+Inference-only (no VJP is defined -- differentiating through it raises);
+training keeps the XLA implementation.
+
+MEASURED (TPU v5e, 2026-08-16, B=128, n=20, D=400, bp-only sync):
+compiles + validates at production sizes (99.96% backpointer agreement
+with the XLA path, cky_val max|diff| 6e-6); 8.1 ms vs the XLA fused
+inside+CKY's 3.0 ms.  The kernel is latency-bound: ~190 sequential
+(level, split) iterations with fixed Mmax=(n-1)*BB row tiles give a
+2.7x FLOP redundancy and bf16 matmul inputs do not help (8.4 ms).
+XLA's exact-shape level-batched matmuls win for this workload, so the
+XLA path stays the parse default; the kernel is opt-in via
+``Trainer.parse(..., impl='pallas')`` / ``ModelConfig.parse_impl`` and
+is kept as the substrate for future fusion work (its single-dispatch,
+zero-HBM structure is what a multi-sentence-per-tile variant needs).
 """
 
 from __future__ import annotations
@@ -51,141 +62,167 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cliora_tpu.chart.offsets import ncells
 
-# sentences per program: sized so (2 h-charts + staging + compose
-# temporaries) fit the 16 MB VMEM scoped limit at n=20, D=400; also keeps
-# slice offsets sublane-aligned
+# sentences per program: keeps the h chart + weights + per-iteration
+# temporaries inside the ~16 MB VMEM budget at n<=20, D<=400, and keeps
+# all row offsets sublane-aligned for f32 (8, 128) tiles
 BB = 8
 
 
-def _max_nm(n: int) -> int:
-    """max over levels of N * L * BB rows in the staging buffers."""
-    return max(level * (n - level) for level in range(1, n)) * BB
+def _vmem_bytes(n: int, D: int) -> int:
+    Dp = -(-D // 128) * 128                  # lane padding
+    cols = n * BB
+    Mmax = (n - 1) * BB
+    vmem = n * cols * Dp * 4                 # h chart
+    vmem += n * cols * 128 * 4               # packed s/cky/bp chart
+    vmem += Mmax * Dp * 4 * 2                # h_acc scratch + h_k temp
+    vmem += Mmax * 128 * 4 * 6               # column accumulators
+    vmem += (2 * D * Dp + D * Dp) * 4        # w0, w1, mat (padded)
+    vmem += cols * Dp * 4 * 2                # rolled-row temporaries
+    return vmem
 
 
 def supports(n: int, D: int, batch: int) -> bool:
     """Whether the fused kernel fits VMEM / shape constraints."""
-    Dp = -(-D // 128) * 128                      # lane padding
-    vmem = n * n * BB * Dp * 4                   # h chart
-    vmem += 4 * _max_nm(n) * Dp * 4              # staging + compose tmps
-    return batch % BB == 0 and vmem < 12 * 1024 * 1024
+    return (batch % BB == 0 and n >= 3
+            and _vmem_bytes(n, D) < 13 * 1024 * 1024)
 
 
-def _kernel(n, D, norm,
+def _kernel(n, D, norm, cdt,
             h0_ref, w0_ref, b0_ref, w1_ref, b1_ref, mat_ref,
             out_s_ref, out_bp_ref, out_val_ref,
-            h_s, s_s, cv_s, x_buf, sc_buf):
+            h_s, sc_s, h_acc, m_run, z_run, s_acc, best, barg):
+    """sc_s lanes: 0 = inside_s, 1 = cky value, 2 = backpointer (as f32).
+
+    ``cdt`` is the matmul input dtype: bf16 rides the MXU at 4x the f32
+    rate (accumulation stays f32 via preferred_element_type).
+    """
     f32 = jnp.float32
     cols = n * BB
+    Mmax = (n - 1) * BB
 
     # leaves -> chart level-0 rows (cols pos*BB + b); per-position copies
     # avoid a major-dim transpose
     for pos in range(n):
         h_s[0, pos * BB:(pos + 1) * BB, :] = h0_ref[:, pos, :]
-    zcol = jnp.zeros((cols, 1), f32)
-    ocol = jnp.ones((cols, 1), f32)
-    s_s[:, 0:1] = zcol
-    cv_s[:, 0:1] = ocol
-    out_bp_ref[0, :, 0:1] = zcol.astype(jnp.int32)
-    out_val_ref[0, :, 0:1] = ocol
-    out_s_ref[0, :, 0:1] = zcol
+    # lane 0 = inside_s (0), lane 1 = cky leaf value (1), lane 2 = bp (0);
+    # lane-column stores -- .at[].set on a value lowers to an unsupported
+    # Mosaic scatter
+    sc_s[0, :, :] = jnp.zeros((cols, 128), f32)
+    sc_s[0, :, 1:2] = jnp.ones((cols, 1), f32)
 
-    w0 = w0_ref[...]
+    w0 = w0_ref[...].astype(cdt)                  # (D, 2D) torch layout
     b0 = b0_ref[...]
-    w1 = w1_ref[...]
+    w1 = w1_ref[...].astype(cdt)
     b1 = b1_ref[...]
-    mat = mat_ref[...]
+    mat = mat_ref[...].astype(cdt)
 
-    for level in range(1, n):
-        L, N = n - level, level
-        M = L * BB
-        # stage split-k children contiguously, directly into the two
-        # halves of the compose input (static VMEM->VMEM copies): row
-        # block k <- [left (k, p) ; right (level-k-1, p+k+1)]
-        for k in range(N):
-            r0 = (k + 1) * BB
-            x_buf[k * M:(k + 1) * M, 0:D] = h_s[k, 0:M, :]
-            x_buf[k * M:(k + 1) * M, D:2 * D] = h_s[level - k - 1,
-                                                    r0:r0 + M, :]
-        lh = x_buf[0:N * M, 0:D]
-        rh = x_buf[0:N * M, D:2 * D]
+    def level_body(level, _):
+        # reset online-softmax accumulators
+        m_run[...] = jnp.full((Mmax, 128), -1e30, f32)
+        z_run[...] = jnp.zeros((Mmax, 128), f32)
+        s_acc[...] = jnp.zeros((Mmax, 128), f32)
+        best[...] = jnp.full((Mmax, 128), -1e30, f32)
+        barg[...] = jnp.zeros((Mmax, 128), f32)
+        h_acc[...] = jnp.zeros((Mmax, D), f32)
 
-        h = jnp.maximum(jax.lax.dot_general(
-            x_buf[0:N * M, :], w0, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32) + b0, 0.0)
-        h = jnp.maximum(jax.lax.dot_general(
-            h, w1, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32) + b1, 0.0)          # (N*M, D)
+        def split_body(k, _):
+            # roll left by r0 == roll right by cols - r0 (keep the traced
+            # shift non-negative)
+            shift = cols - (k + 1) * BB
+            lh = h_s[k, 0:Mmax, :]                            # (Mmax, D)
+            rrow = pltpu.roll(h_s[level - k - 1], shift, axis=0)
+            rh = rrow[0:Mmax, :]
+            lhc = lh.astype(cdt)
+            rhc = rh.astype(cdt)
 
-        # bilinear lh @ mat (contract mat dim 0 -- reference:
-        # torch.matmul(v1, self.mat), cliora/net/diora.py:95)
-        bil = jnp.sum(jax.lax.dot_general(
-            lh, mat, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32) * rh,
-            axis=1, keepdims=True)                          # (N*M, 1)
+            # compose: split w0 into its [left; right] halves to skip
+            # materializing the (Mmax, 2D) concat
+            h1 = jnp.maximum(
+                jax.lax.dot_general(lhc, w0[:, 0:D], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+                + jax.lax.dot_general(rhc, w0[:, D:2 * D],
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32)
+                + b0, 0.0)
+            hk = jnp.maximum(
+                jax.lax.dot_general(h1.astype(cdt), w1,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+                + b1, 0.0)                                     # (Mmax, D)
 
-        # per-split score columns: sc_k = bil_k + ls_k + rs_k
-        for k in range(N):
-            r0 = (k + 1) * BB
-            sc_buf[k * M:(k + 1) * M, 0:1] = (
-                bil[k * M:(k + 1) * M]
-                + s_s[0:M, k:k + 1]
-                + s_s[r0:r0 + M, level - k - 1:level - k])
-        sc = sc_buf[0:N * M, 0:1]
+            # bilinear lh @ mat (contract mat dim 0 -- reference:
+            # torch.matmul(v1, self.mat), cliora/net/diora.py:95)
+            bil = jnp.sum(jax.lax.dot_general(
+                lhc, mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32) * rh,
+                axis=1, keepdims=True)                         # (Mmax, 1)
 
-        # split softmax + weighted aggregate, unrolled over splits as
-        # (M, 1) column ops
-        smax = sc[0:M]
-        for k in range(1, N):
-            smax = jnp.maximum(smax, sc[k * M:(k + 1) * M])
-        z = jnp.zeros((M, 1), f32)
-        for k in range(N):
-            z = z + jnp.exp(sc[k * M:(k + 1) * M] - smax)
-        h_agg = jnp.zeros((M, D), f32)
-        s_agg = jnp.zeros((M, 1), f32)
-        cky_best = jnp.full((M, 1), -1e30, f32)
-        cky_arg = jnp.zeros((M, 1), jnp.int32)
-        for k in range(N):
-            sc_k = sc[k * M:(k + 1) * M]
-            p_k = jnp.exp(sc_k - smax) / z
-            h_agg = h_agg + h[k * M:(k + 1) * M, :] * p_k
-            s_agg = s_agg + sc_k * p_k
-            # fused CKY: max-normalized split score + child values
-            r0 = (k + 1) * BB
-            ps_k = (sc_k - smax
-                    + cv_s[0:M, k:k + 1]
-                    + cv_s[r0:r0 + M, level - k - 1:level - k])
-            better = ps_k > cky_best
-            cky_best = jnp.where(better, ps_k, cky_best)
-            cky_arg = jnp.where(better, k, cky_arg)
+            lsc = sc_s[k, 0:Mmax, :]                           # (Mmax, 128)
+            rsc = pltpu.roll(sc_s[level - k - 1], shift, axis=0)[0:Mmax, :]
+            sck = bil[:, 0:1] + lsc[:, 0:1] + rsc[:, 0:1]      # (Mmax, 1)
+            # raw CKY candidate (shift by the split max happens at the end)
+            psk = sck + lsc[:, 1:2] + rsc[:, 1:2]
 
+            m_old = m_run[:, 0:1]
+            m_new = jnp.maximum(m_old, sck)
+            corr = jnp.exp(m_old - m_new)
+            e = jnp.exp(sck - m_new)
+            m_run[:, 0:1] = m_new
+            z_run[:, 0:1] = z_run[:, 0:1] * corr + e
+            s_acc[:, 0:1] = s_acc[:, 0:1] * corr + sck * e
+            h_acc[...] = h_acc[...] * corr + hk * e
+
+            better = psk > best[:, 0:1]
+            best[:, 0:1] = jnp.where(better, psk, best[:, 0:1])
+            barg[:, 0:1] = jnp.where(
+                better, jnp.full_like(psk, 1.0) * k, barg[:, 0:1])
+            return 0
+
+        jax.lax.fori_loop(0, level, split_body, 0)
+
+        z = z_run[:, 0:1]
+        h_agg = h_acc[...] / z
         if norm == "unit":
             inv = jax.lax.rsqrt(jnp.maximum(
                 jnp.sum(h_agg * h_agg, axis=1, keepdims=True), 1e-16))
             h_agg = h_agg * inv
+        h_s[level, 0:Mmax, :] = h_agg
 
-        h_s[level, 0:M, :] = h_agg
-        s_s[0:M, level:level + 1] = s_agg
-        cv_s[0:M, level:level + 1] = cky_best
-        out_s_ref[0, 0:M, level:level + 1] = s_agg
-        out_val_ref[0, 0:M, level:level + 1] = cky_best
-        out_bp_ref[0, 0:M, level:level + 1] = cky_arg
+        sc_s[level, 0:Mmax, 0:1] = s_acc[:, 0:1] / z
+        # cky value re-based by the split max (reference hook semantics)
+        sc_s[level, 0:Mmax, 1:2] = best[:, 0:1] - m_run[:, 0:1]
+        sc_s[level, 0:Mmax, 2:3] = barg[:, 0:1]
+        return 0
+
+    jax.lax.fori_loop(1, n, level_body, 0)
+
+    # emit outputs as (cols, n) columns -- static lane index per level,
+    # sublane-aligned copies, no transposes
+    for level in range(n):
+        out_s_ref[0, :, level:level + 1] = sc_s[level, :, 0:1]
+        out_val_ref[0, :, level:level + 1] = sc_s[level, :, 1:2]
+        out_bp_ref[0, :, level:level + 1] = (
+            sc_s[level, :, 2:3].astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("norm",))
-def fused_inside_cky_pallas(dp, h0, norm: str = "unit"):
+@functools.partial(jax.jit, static_argnames=("norm", "compute_dtype"))
+def fused_inside_cky_pallas(dp, h0, norm: str = "unit",
+                            compute_dtype: str = "float32"):
     """Inside pass + CKY for (B, n, D) leaves; B % BB == 0.
 
     Returns flat (B, ncells, 1) inside_s, (B, ncells) int32 cky_bp and
     (B, ncells) cky_val -- matching ops/chart_pass.inside_pass outputs
-    (the h chart stays on-chip).
+    (the h chart stays on-chip).  ``compute_dtype='bfloat16'`` runs the
+    matmuls at the MXU's native bf16 rate (f32 accumulation).
     """
     B, n, D = h0.shape
     assert B % BB == 0, (B, BB)
     nprog = B // BB
     cp = dp["inside_compose"]
     cols = n * BB
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
-    kernel = functools.partial(_kernel, n, D, norm)
+    kernel = functools.partial(_kernel, n, D, norm, cdt)
     out_s, out_bp, out_val = pl.pallas_call(
         kernel,
         grid=(nprog,),
@@ -213,16 +250,19 @@ def fused_inside_cky_pallas(dp, h0, norm: str = "unit"):
             jax.ShapeDtypeStruct((nprog, cols, n), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, cols, D), jnp.float32),   # h chart
-            pltpu.VMEM((cols, n), jnp.float32),      # s chart (columns)
-            pltpu.VMEM((cols, n), jnp.float32),      # cky value chart
-            pltpu.VMEM((_max_nm(n), 2 * D), jnp.float32),  # [lh; rh]
-            pltpu.VMEM((_max_nm(n), 1), jnp.float32),      # score columns
+            pltpu.VMEM((n, cols, D), jnp.float32),        # h chart
+            pltpu.VMEM((n, cols, 128), jnp.float32),      # s/cky/bp packed
+            pltpu.VMEM(((n - 1) * BB, D), jnp.float32),   # h accumulator
+            pltpu.VMEM(((n - 1) * BB, 128), jnp.float32),  # running max
+            pltpu.VMEM(((n - 1) * BB, 128), jnp.float32),  # exp sum
+            pltpu.VMEM(((n - 1) * BB, 128), jnp.float32),  # weighted score
+            pltpu.VMEM(((n - 1) * BB, 128), jnp.float32),  # cky best
+            pltpu.VMEM(((n - 1) * BB, 128), jnp.float32),  # cky argmax
         ],
     )(h0, cp["fc0"]["w"], cp["fc0"]["b"], cp["fc1"]["w"], cp["fc1"]["b"],
       dp["inside_score"]["mat"])
 
-    # (nprog, n*BB, n) column layout -> flat (B, ncells)
+    # (nprog, n*BB, n) column layout (col pos*BB + b) -> flat (B, ncells)
     def to_flat(x):
         x = x.reshape(nprog, n, BB, n)
         x = jnp.transpose(x, (0, 2, 3, 1)).reshape(B, n, n)

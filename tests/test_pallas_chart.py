@@ -52,3 +52,18 @@ def test_fused_multiblock(rng):
                                   np.asarray(want.cky_bp))
     np.testing.assert_allclose(np.asarray(got_val),
                                np.asarray(want.cky_val), atol=1e-4)
+
+
+def test_trainer_parse_pallas_impl(rng):
+    """parse(impl='pallas') routes through the fused kernel and agrees
+    with the default XLA decode."""
+    from cliora_tpu.training.trainer import TrainConfig, Trainer
+
+    cfg = ModelConfig(size=D)
+    tc = TrainConfig(lr=1e-3, k_neg=5)
+    tr = Trainer.build(cfg, tc, 40, seed=0)
+    batch = {"sentences": rng.randint(2, 40, (BB, 6)),
+             "neg_samples": rng.choice(40, 5, replace=False)}
+    res_x, _ = tr.parse(batch, outside=False)
+    res_p, _ = tr.parse(batch, impl="pallas")
+    np.testing.assert_array_equal(res_p["cky_bp"], res_x["cky_bp"])
