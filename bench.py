@@ -5,6 +5,13 @@ reconstruction + VG + contrastive losses, backward, global-norm clip,
 Adam) at B=128, L=20, D=400, k_neg=100, 36 regions x 2048-d features --
 the reference's Flickr training envelope at a TPU-sized batch.
 
+Production config: bf16 compute/chart storage with f32 accumulation
+(validated by tests/test_bf16.py: chart closeness, loss overlap,
+descent-curve overlap, gradient cosine vs the gold-parity f32 path) and
+the fused span x region score reduction (attn_impl='chunked',
+parity-tested in tests/test_span_region.py).  f32 single-chip reference
+point and the measurement history: BASELINE.md.
+
 Measures the steady-state pipelined step: batches are device-resident
 (as a prefetching input pipeline keeps them -- cliora_tpu/data/prefetch.py
 overlaps uploads with compute) and metrics are not synced per step (the
@@ -39,9 +46,9 @@ def main():
     from cliora_tpu.training.trainer import TrainConfig, Trainer
 
     cfg = ModelConfig(size=D, input_size=E, use_obj=True, n_regions=R,
-                      obj_feat_size=F)
+                      obj_feat_size=F, compute_dtype="bfloat16")
     tc = TrainConfig(lr=5e-4, k_neg=K, vg_loss=True, use_contr=True,
-                     emb_trainable=True)
+                     emb_trainable=True, attn_impl="chunked")
     trainer = Trainer.build(cfg, tc, V, seed=0)
 
     rs = np.random.RandomState(0)
@@ -49,7 +56,7 @@ def main():
     tokens = jnp.asarray(rs.randint(0, V, (B, L)))
     neg = jnp.asarray(rs.choice(V, K, replace=False))
     obj = jnp.asarray(rs.randn(B, R, F).astype(np.float32))
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl="rbg")   # TPU hardware RNG for dropout
 
     state = trainer.state
     for i in range(WARMUP):

@@ -32,6 +32,7 @@ from cliora_tpu.ops.core import (
     bilinear,
     compose_mlp,
     compose_treelstm,
+    lowp_einsum,
     normalize,
     region_attention,
 )
@@ -52,11 +53,28 @@ def compute_dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _weighted_agg(pattern: str, h, p):
+    """Softmax-weighted aggregation ``einsum(pattern, h, p)``, f32 output.
+
+    Runs through :func:`lowp_einsum` so that with bf16 charts the
+    backward produces ``dh`` directly in bf16 (plain autodiff would
+    materialize an f32 copy of the big ``(B, L, N, D)`` composed tensor
+    in the transpose); only ``dp`` (the softmax cotangent) accumulates
+    f32.  Identical numerics to the plain einsum for f32 charts.
+    """
+    return lowp_einsum(pattern, h, p, h.dtype)
+
+
 def _compose(cfg: ModelConfig, cp, lh, rh, lc, rc):
     dtype = compute_dtype(cfg)
     if cfg.arch == "treelstm":
         return compose_treelstm(cp, (lh, lc), (rh, rc), compute_dtype=dtype)
-    return compose_mlp(cp, lh, rh, compute_dtype=dtype), None
+    # out_dtype == compute dtype: the h-charts are stored in the compute
+    # dtype (see inside_pass), so no f32 round-trip is materialized on the
+    # (B, L*N, D) composed tensor -- the convert_element_type traffic was
+    # ~12 ms/step of the bf16 B=128 L=20 D=400 train step before this
+    return compose_mlp(cp, lh, rh, compute_dtype=dtype,
+                       out_dtype=dtype), None
 
 
 def inside_pass(
@@ -77,13 +95,20 @@ def inside_pass(
     NC = ncells(n)
     offs = level_offsets(n)
     use_c = cfg.arch == "treelstm"
+    cdt = compute_dtype(cfg)
 
-    inside_h = jnp.zeros((B, NC, D), jnp.float32).at[:, :n].set(h0)
+    # h-charts live in the compute dtype: gathered children then feed the
+    # compose/score matmuls with no per-level converts (in bf16 mode this
+    # also halves chart HBM traffic).  Scores and softmaxes stay f32.
+    # The region tensor is likewise cast once, not per level.
+    if obj is not None:
+        obj = obj.astype(cdt)
+    inside_h = jnp.zeros((B, NC, D), cdt).at[:, :n].set(h0.astype(cdt))
     inside_s = jnp.zeros((B, NC, 1), jnp.float32)
     inside_c = None
     if use_c:
         c0 = jnp.zeros_like(h0) if c0 is None else c0
-        inside_c = jnp.zeros((B, NC, D), jnp.float32).at[:, :n].set(c0)
+        inside_c = jnp.zeros((B, NC, D), cdt).at[:, :n].set(c0.astype(cdt))
 
     cky_val = jnp.ones((B, NC), jnp.float32) if with_cky else None
     cky_bp = jnp.zeros((B, NC), jnp.int32) if with_cky else None
@@ -112,7 +137,7 @@ def inside_pass(
         else:
             p = jax.nn.softmax(s, axis=-1)           # softmax over splits
 
-        h_agg = jnp.einsum("blnd,bln->bld", h.reshape(B, L, N, D), p)
+        h_agg = _weighted_agg("blnd,bln->bld", h.reshape(B, L, N, D), p)
         s_agg = jnp.sum(s * p, axis=-1)              # (B, L)
 
         h_agg = normalize(cfg.normalize, h_agg)
@@ -126,12 +151,12 @@ def inside_pass(
             h_agg = normalize(cfg.normalize, h_agg + cxt)
 
         off = int(offs[level])
-        inside_h = inside_h.at[:, off:off + L].set(h_agg)
+        inside_h = inside_h.at[:, off:off + L].set(h_agg.astype(cdt))
         inside_s = inside_s.at[:, off:off + L].set(s_agg[..., None])
         if use_c:
-            c_agg = jnp.einsum("blnd,bln->bld", c.reshape(B, L, N, D), p)
+            c_agg = _weighted_agg("blnd,bln->bld", c.reshape(B, L, N, D), p)
             c_agg = normalize(cfg.normalize, c_agg)
-            inside_c = inside_c.at[:, off:off + L].set(c_agg)
+            inside_c = inside_c.at[:, off:off + L].set(c_agg.astype(cdt))
 
         if with_cky:
             s_norm = s - jnp.max(s, axis=-1, keepdims=True)
@@ -198,6 +223,7 @@ def outside_pass(
     assert ncells(n) == NC
     offs = level_offsets(n)
     use_c = cfg.arch == "treelstm"
+    cdt = compute_dtype(cfg)
     if lengths is not None:
         assert not use_c, "padded buckets support the mlp arch only"
 
@@ -218,13 +244,14 @@ def outside_pass(
             dp["root_vector_out_h"].reshape(1, D), (B, D))
     root_h = normalize(cfg.normalize, root_h)
 
-    outside_h = jnp.zeros((B, NC, D), jnp.float32)
+    outside_h = jnp.zeros((B, NC, D), cdt)
+    root_h = root_h.astype(cdt)
     if lengths is None:
         outside_h = outside_h.at[:, -1].set(root_h)
     else:
         outside_h = outside_h.at[jnp.arange(B), root_cell].set(root_h)
     outside_s = jnp.zeros((B, NC, 1), jnp.float32)
-    outside_c = jnp.zeros((B, NC, D), jnp.float32) if use_c else None
+    outside_c = jnp.zeros((B, NC, D), cdt) if use_c else None
 
     for level in range(n - 2, -1, -1):
         L = n - level
@@ -251,10 +278,10 @@ def outside_pass(
         else:
             p = jax.nn.softmax(s, axis=1)            # softmax over combos
 
-        h_agg = jnp.einsum("bnld,bnl->bld", h.reshape(B, N, L, D), p)
+        h_agg = _weighted_agg("bnld,bnl->bld", h.reshape(B, N, L, D), p)
         s_agg = jnp.sum(s * p, axis=1)               # (B, L)
 
-        h_agg = normalize(cfg.normalize, h_agg)
+        h_agg = normalize(cfg.normalize, h_agg).astype(cdt)
 
         off = int(offs[level])
         if lengths is not None:
@@ -268,9 +295,9 @@ def outside_pass(
         outside_h = outside_h.at[:, off:off + L].set(h_agg)
         outside_s = outside_s.at[:, off:off + L].set(s_agg[..., None])
         if use_c:
-            c_agg = jnp.einsum("bnld,bnl->bld", c.reshape(B, N, L, D), p)
+            c_agg = _weighted_agg("bnld,bnl->bld", c.reshape(B, N, L, D), p)
             c_agg = normalize(cfg.normalize, c_agg)
-            outside_c = outside_c.at[:, off:off + L].set(c_agg)
+            outside_c = outside_c.at[:, off:off + L].set(c_agg.astype(cdt))
 
     return outside_h, outside_s, outside_c
 

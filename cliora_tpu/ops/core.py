@@ -7,6 +7,8 @@ interoperate with the reference state_dicts (see training/checkpoint.py).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -42,29 +44,107 @@ def leaf_mlp(cp, x):
     return jnp.tanh(linear(cp["leaf_fc"], x))
 
 
-def compose_mlp(cp, left_h, right_h, compute_dtype=jnp.float32):
+def compose_mlp(cp, left_h, right_h, compute_dtype=jnp.float32,
+                out_dtype=jnp.float32):
     """Two-layer ReLU MLP over the concatenated children.
 
     ``h = relu(W2 relu(W1 [l; r] + b1) + b2)``
     (reference: cliora/net/diora.py:35-40,65-72)
+
+    ``out_dtype``: callers that keep their charts in the compute dtype
+    (ops/chart_pass.py with bf16 storage) pass ``compute_dtype`` here so
+    no f32 round-trip is materialized between levels.
     """
     x = jnp.concatenate([left_h, right_h], axis=-1).astype(compute_dtype)
     h = jax.nn.relu(linear(jax.tree.map(lambda t: t.astype(compute_dtype), cp["fc0"]), x))
     h = jax.nn.relu(linear(jax.tree.map(lambda t: t.astype(compute_dtype), cp["fc1"]), h))
-    return h.astype(jnp.float32)
+    return h.astype(out_dtype)
+
+
+def _einsum_bwd_patterns(pattern: str):
+    ins, out = pattern.split("->")
+    a, b = ins.split(",")
+    return f"{out},{b}->{a}", f"{a},{out}->{b}"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
+def lowp_einsum(pattern, x, y, compute_dtype=jnp.float32,
+                out_dtype=jnp.float32):
+    """Two-operand einsum computed in ``compute_dtype``, accumulated into
+    ``out_dtype``, whose *backward* also runs in ``compute_dtype``.
+
+    Plain autodiff of a mixed-dtype einsum materializes f32 copies of the
+    big bf16 operands in the transpose (the convert_element_type traffic
+    was ~8 ms of the B=128 L=20 D=400 train step).  Here each cotangent is
+    produced directly in the operand's own dtype: the incoming cotangent
+    is cast down once, and only f32 operands (typically weights / softmax
+    probabilities) get f32-accumulated gradients.  For f32 inputs the
+    numerics are identical to the plain einsum.
+    """
+    return jnp.einsum(pattern, x.astype(compute_dtype),
+                      y.astype(compute_dtype),
+                      preferred_element_type=out_dtype)
+
+
+def _lowp_einsum_fwd(pattern, x, y, compute_dtype, out_dtype):
+    return lowp_einsum(pattern, x, y, compute_dtype, out_dtype), (x, y)
+
+
+def _expand_to(x, core_x: str, core_out: str, n_lead: int):
+    """Insert size-1 axes so ``x`` (indices ``core_x``, after ``n_lead``
+    leading batch dims) broadcasts against ``core_out``-indexed arrays.
+    ``core_x`` must be an ordered subsequence of ``core_out``."""
+    for i, ch in enumerate(core_out):
+        if ch not in core_x:
+            x = jnp.expand_dims(x, n_lead + i)
+    return x
+
+
+def _einsum_or_bcast(pat, u, v, want_dtype):
+    """``einsum(pat, u, v)`` -- but as an elementwise broadcast multiply
+    when the pattern contracts nothing (XLA lowers a contraction-free
+    einsum to a degenerate dot_general, ~3.7 ms/step slower than the VPU
+    multiply for the bilinear backward at B=128)."""
+    ins, out = pat.split("->")
+    a, b = ins.split(",")
+    contracted = set(a + b) - set(out) - {"."}
+    ca, cb, co = (s.replace("...", "") for s in (a, b, out))
+
+    def subseq(s, t):
+        it = iter(t)
+        return all(ch in it for ch in s)
+
+    if not contracted and subseq(ca, co) and subseq(cb, co):
+        prod = (_expand_to(u, ca, co, u.ndim - len(ca))
+                * _expand_to(v, cb, co, v.ndim - len(cb)))
+        return prod.astype(want_dtype)
+    return jnp.einsum(pat, u, v, preferred_element_type=want_dtype)
+
+
+def _lowp_einsum_bwd(pattern, compute_dtype, out_dtype, res, g):
+    x, y = res
+    dx_pat, dy_pat = _einsum_bwd_patterns(pattern)
+    g16 = g.astype(compute_dtype)
+    dx = _einsum_or_bcast(dx_pat, g16, y.astype(compute_dtype), x.dtype)
+    dy = _einsum_or_bcast(dy_pat, x.astype(compute_dtype), g16, y.dtype)
+    return dx.astype(x.dtype), dy.astype(y.dtype)
+
+
+lowp_einsum.defvjp(_lowp_einsum_fwd, _lowp_einsum_bwd)
 
 
 def bilinear(mat, a, b, compute_dtype=jnp.float32):
     """Split-compatibility score ``s = a^T M b`` per row.
 
-    The (M, D) x (D, D) matmul runs in ``compute_dtype`` (bf16 rides the
-    MXU at full rate) with f32 accumulation; the elementwise product and
-    lane reduction stay f32.
+    Both contractions run in ``compute_dtype`` (bf16 rides the MXU at
+    full rate); the row inner products accumulate in f32, so only
+    per-element rounding is at the compute dtype, and the backward stays
+    in the compute dtype too (``lowp_einsum``).
     (reference: cliora/net/diora.py:77-97 ``Bilinear``)
     """
-    am = jnp.matmul(a.astype(compute_dtype), mat.astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
-    return jnp.sum(am * b, axis=-1)
+    am = lowp_einsum("...me,ed->...md", a, mat, compute_dtype,
+                     compute_dtype)
+    return lowp_einsum("...md,...md->...m", am, b, compute_dtype)
 
 
 def region_attention(h, obj, *, temp=1.0, dropout=0.0, rng=None, train=False,
@@ -81,17 +161,13 @@ def region_attention(h, obj, *, temp=1.0, dropout=0.0, rng=None, train=False,
     Returns:
       cxt: (B, L, D) attended visual context.
     """
-    score = jnp.einsum("bld,brd->blr", h.astype(compute_dtype),
-                       obj.astype(compute_dtype),
-                       preferred_element_type=jnp.float32) / temp
+    score = lowp_einsum("bld,brd->blr", h, obj, compute_dtype) / temp
     prob = jax.nn.softmax(score, axis=-1)
     if train and dropout > 0.0:
         assert rng is not None, "dropout requires an rng key"
         keep = jax.random.bernoulli(rng, 1.0 - dropout, prob.shape)
         prob = jnp.where(keep, prob / (1.0 - dropout), 0.0)
-    return jnp.einsum("blr,brd->bld", prob.astype(compute_dtype),
-                      obj.astype(compute_dtype),
-                      preferred_element_type=jnp.float32)
+    return lowp_einsum("blr,brd->bld", prob, obj, compute_dtype)
 
 
 def compose_treelstm(cp, left, right, compute_dtype=jnp.float32):

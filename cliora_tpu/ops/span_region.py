@@ -34,7 +34,10 @@ ROW_TILE = 256
 
 
 def _max_and_argmax_einsum(span, obj):
-    scores = jnp.einsum("amd,crd->acmr", span, obj)
+    # contract in the span dtype (bf16 when charts are bf16-stored),
+    # accumulate scores in f32
+    scores = jnp.einsum("amd,crd->acmr", span, obj.astype(span.dtype),
+                        preferred_element_type=jnp.float32)
     return jnp.max(scores, -1), jnp.argmax(scores, -1).astype(jnp.int32)
 
 
@@ -42,9 +45,11 @@ def _max_and_argmax_chunked(span, obj, chunk: int = 8):
     C = obj.shape[0]
     assert C % chunk == 0 or chunk >= C, (C, chunk)
     chunk = min(chunk, C)
+    obj = obj.astype(span.dtype)    # cast once, outside the scanned body
 
     def one_chunk(obj_c):
-        s = jnp.einsum("amd,crd->acmr", span, obj_c)
+        s = jnp.einsum("amd,crd->acmr", span, obj_c,
+                       preferred_element_type=jnp.float32)
         return jnp.max(s, -1), jnp.argmax(s, -1).astype(jnp.int32)
 
     obj_chunks = obj.reshape(C // chunk, chunk, *obj.shape[1:])
@@ -70,6 +75,7 @@ def _pallas_kernel(span_ref, obj_ref, max_ref, arg_ref):
 def _max_and_argmax_pallas(span, obj):
     A, M, D = span.shape
     C, R, _ = obj.shape
+    obj = obj.astype(span.dtype)    # one MXU dtype inside the kernel
     flat = span.reshape(A * M, D)
     rows = A * M
     tile = min(ROW_TILE, rows)
@@ -151,19 +157,22 @@ def _bwd(impl, res, g):
         obj_c, am_c, g_c = inputs     # (ch, R, D), (A, ch, M), (A, ch, M)
         onehot = jax.nn.one_hot(am_c, R, dtype=g.dtype)  # (A, ch, M, R)
         w = onehot * g_c[..., None]                      # weighted one-hot
-        # dspan[a,m] += sum_c g * obj[c, am]
-        dspan = dspan + jnp.einsum("acmr,crd->amd", w, obj_c)
+        # dspan[a,m] += sum_c g * obj[c, am]; accumulate f32 regardless of
+        # the primal dtype (span may be bf16 when charts are bf16-stored)
+        dspan = dspan + jnp.einsum("acmr,crd->amd", w, obj_c,
+                                   preferred_element_type=jnp.float32)
         # dobj[c,r] += sum_{a,m: am=r} g * span[a,m]
-        dobj_c = jnp.einsum("acmr,amd->crd", w, span)
+        dobj_c = jnp.einsum("acmr,amd->crd", w, span,
+                            preferred_element_type=jnp.float32)
         return dspan, dobj_c
 
     dspan, dobj = jax.lax.scan(
-        body, jnp.zeros_like(span),
+        body, jnp.zeros(span.shape, jnp.float32),
         (obj_p.reshape(nch, ch, R, D),
          jnp.moveaxis(am_p.reshape(A, nch, ch, M), 1, 0),
          jnp.moveaxis(g_p.reshape(A, nch, ch, M), 1, 0)))
     dobj = dobj.reshape(Cp, R, D)[:C]
-    return dspan, dobj
+    return dspan.astype(span.dtype), dobj.astype(obj.dtype)
 
 
 span_region_max.defvjp(_fwd, _bwd)

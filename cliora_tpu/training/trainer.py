@@ -233,8 +233,13 @@ class Trainer:
             from cliora_tpu.parallel.mesh import replicate_tree
             self.state = replicate_tree(mesh, self.state)
         # host-side step counter for dropout keys: reading state.step would
-        # force a device sync every step
-        self._host_rng = jax.random.PRNGKey(1729)
+        # force a device sync every step.  'rbg' lowers to the TPU hardware
+        # RNG (XLA RngBitGenerator): threefry2x32 cost ~4 ms/step just
+        # generating the 19 per-level attention-dropout masks at B=128.
+        # Same dropout distribution, different stream -- dropout carries no
+        # parity contract (the reference uses torch's RNG,
+        # cliora/net/cliora.py:32).
+        self._host_rng = jax.random.key(1729, impl="rbg")
         self._host_step = 0
         mask_flat = self.mask
 
