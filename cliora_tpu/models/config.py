@@ -25,11 +25,6 @@ class ModelConfig:
     attn_dropout: float = 0.1       # AttentionHead dropout (cliora.py:32)
     attn_temp: float = 1.0          # AttentionHead temperature
     compute_dtype: str = "float32"  # matmul compute dtype (bfloat16 opt-in)
-    # 'flat': gather-based (reference-style); backward pays scatter-adds.
-    # 'dual': start+end-indexed charts, all accesses rectangular slices
-    #         (cheap backward).  'dense': single dense chart, per-split
-    #         slice stacks (slowest; kept for reference).
-    chart_impl: str = "flat"
     # 'soft': softmax-weighted split aggregation (DIORA); 'hard': argmax
     # split only (the S-DIORA greedy variant -- selectable but never
     # shipped in the reference: cliora/net/trainer.py:525 raises)
@@ -44,8 +39,5 @@ class ModelConfig:
         assert self.arch in ("mlp", "treelstm"), self.arch
         assert self.normalize in ("unit", "none"), self.normalize
         assert self.compute_dtype in ("float32", "bfloat16")
-        assert self.chart_impl in ("flat", "dual", "dense"), self.chart_impl
         assert self.aggregate in ("soft", "hard"), self.aggregate
-        if self.aggregate == "hard":
-            assert self.chart_impl == "flat", "hard aggregation: flat only"
         assert self.parse_impl in ("xla", "pallas"), self.parse_impl

@@ -54,15 +54,18 @@ def compute_dtype(cfg: ModelConfig):
 
 
 def _weighted_agg(pattern: str, h, p):
-    """Softmax-weighted aggregation ``einsum(pattern, h, p)``, f32 output.
+    """Softmax-weighted aggregation ``einsum(pattern, h, p)``.
 
     Runs through :func:`lowp_einsum` so that with bf16 charts the
     backward produces ``dh`` directly in bf16 (plain autodiff would
     materialize an f32 copy of the big ``(B, L, N, D)`` composed tensor
     in the transpose); only ``dp`` (the softmax cotangent) accumulates
-    f32.  Identical numerics to the plain einsum for f32 charts.
+    f32.  The output stays in the chart dtype -- together with the
+    dtype-preserving unit_norm and attention context this keeps the whole
+    level block convert-free.  Identical numerics to the plain einsum for
+    f32 charts.
     """
-    return lowp_einsum(pattern, h, p, h.dtype)
+    return lowp_einsum(pattern, h, p, h.dtype, h.dtype)
 
 
 def _compose(cfg: ModelConfig, cp, lh, rh, lc, rc):
@@ -314,17 +317,8 @@ def run_chart(
     outside: bool = True,
     lengths=None,
 ) -> InsideOut:
-    if lengths is None:
-        if cfg.chart_impl == "dual" and cfg.arch == "mlp":
-            return _run_chart_dual(cfg, dp, h0, obj=obj, rng=rng,
-                                   train=train, with_cky=with_cky,
-                                   outside=outside)
-        if cfg.chart_impl == "dense" and cfg.arch == "mlp":
-            return _run_chart_dense(cfg, dp, h0, obj=obj, rng=rng,
-                                    train=train, with_cky=with_cky,
-                                    outside=outside)
-    # padded length buckets run the flat impl (inside values of valid
-    # cells depend only on valid cells, so the inside pass needs no mask)
+    # padded length buckets need no inside mask: inside values of valid
+    # cells depend only on valid cells
     inside_h, inside_s, inside_c, bp, val = inside_pass(
         cfg, dp, h0, c0=c0, obj=obj, rng=rng, train=train, with_cky=with_cky)
     outside_h = outside_s = outside_c = None
@@ -333,51 +327,3 @@ def run_chart(
             cfg, dp, inside_h, inside_s, inside_c=inside_c, lengths=lengths)
     return InsideOut(inside_h, inside_s, inside_c,
                      outside_h, outside_s, outside_c, bp, val)
-
-
-def _run_chart_dual(cfg, dp, h0, obj=None, rng=None, train=False,
-                    with_cky=False, outside=True) -> InsideOut:
-    """Dual-chart slice implementation (ops/chart_dual.py), flat outputs."""
-    from cliora_tpu.ops.chart_dual import (
-        inside_pass_dual,
-        outside_pass_dual,
-        start_chart_to_flat,
-    )
-
-    ih, isc, bp_s, cv_s = inside_pass_dual(
-        cfg, dp, h0, obj=obj, rng=rng, train=train, with_cky=with_cky)
-    inside_h = start_chart_to_flat(ih[0])
-    inside_s = start_chart_to_flat(isc[0])[..., None]
-    bp = start_chart_to_flat(bp_s) if with_cky else None
-    val = start_chart_to_flat(cv_s) if with_cky else None
-    outside_h = outside_s = None
-    if outside:
-        oh, osc = outside_pass_dual(cfg, dp, ih, isc)
-        outside_h = start_chart_to_flat(oh[0])
-        outside_s = start_chart_to_flat(osc[0])[..., None]
-    return InsideOut(inside_h, inside_s, None,
-                     outside_h, outside_s, None, bp, val)
-
-
-def _run_chart_dense(cfg, dp, h0, obj=None, rng=None, train=False,
-                     with_cky=False, outside=True) -> InsideOut:
-    """Slice-based implementation (ops/chart_dense.py), flat outputs."""
-    from cliora_tpu.ops.chart_dense import (
-        dense_to_flat,
-        inside_pass_dense,
-        outside_pass_dense,
-    )
-
-    hd, sd, bp_d, val_d = inside_pass_dense(
-        cfg, dp, h0, obj=obj, rng=rng, train=train, with_cky=with_cky)
-    inside_h = dense_to_flat(hd)
-    inside_s = dense_to_flat(sd)[..., None]
-    bp = dense_to_flat(bp_d) if with_cky else None
-    val = dense_to_flat(val_d) if with_cky else None
-    outside_h = outside_s = None
-    if outside:
-        ohd, osd = outside_pass_dense(cfg, dp, hd, sd)
-        outside_h = dense_to_flat(ohd)
-        outside_s = dense_to_flat(osd)[..., None]
-    return InsideOut(inside_h, inside_s, None,
-                     outside_h, outside_s, None, bp, val)

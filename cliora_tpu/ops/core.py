@@ -18,10 +18,17 @@ TINY = 1e-8
 def unit_norm(x, eps: float = TINY):
     """L2-normalize the last dim, clamping the norm at ``eps``.
 
+    For low-precision inputs the squared sum accumulates in f32 and the
+    reciprocal norm is rounded once, so the result stays in ``x.dtype``
+    (keeps the bf16 chart level-loop convert-free).
     (reference: cliora/net/utils.py:11-14 ``UnitNorm``)
     """
-    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    if x.dtype == jnp.float32:
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x / jnp.maximum(norm, eps)
+    ss = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = 1.0 / jnp.maximum(jnp.sqrt(ss), eps)
+    return x * scale.astype(x.dtype)
 
 
 def normalize(mode: str, x):
@@ -167,7 +174,9 @@ def region_attention(h, obj, *, temp=1.0, dropout=0.0, rng=None, train=False,
         assert rng is not None, "dropout requires an rng key"
         keep = jax.random.bernoulli(rng, 1.0 - dropout, prob.shape)
         prob = jnp.where(keep, prob / (1.0 - dropout), 0.0)
-    return lowp_einsum("blr,brd->bld", prob, obj, compute_dtype)
+    # context comes back in the caller's h dtype: the residual add and
+    # re-norm then stay convert-free in the bf16 chart level loop
+    return lowp_einsum("blr,brd->bld", prob, obj, compute_dtype, h.dtype)
 
 
 def compose_treelstm(cp, left, right, compute_dtype=jnp.float32):

@@ -149,29 +149,3 @@ def test_root_cell_convention():
     n = 6
     assert int(cell_index(n, n - 1, 0)) == ncells(n) - 1
 
-
-@pytest.mark.parametrize("n", [2, 3, 6, 11])
-@pytest.mark.parametrize("impl", ["dense", "dual"])
-def test_dense_matches_flat(n, impl, rng):
-    """Slice-based paths == gather-based flat path, bitwise-ish."""
-    import dataclasses
-    cfg_flat = ModelConfig(size=D, chart_impl="flat")
-    cfg_dense = dataclasses.replace(cfg_flat, chart_impl=impl)
-    dp = make_params(cfg_flat, seed=5)
-    B = 2
-    x = rng.randn(B, n, D).astype(np.float32)
-    h0 = unit_norm(jnp.tanh(
-        x @ dp["inside_compose"]["leaf_fc"]["w"].T
-        + dp["inside_compose"]["leaf_fc"]["b"]))
-    a = run_chart(cfg_flat, dp, h0, with_cky=True, outside=True)
-    b = run_chart(cfg_dense, dp, h0, with_cky=True, outside=True)
-    np.testing.assert_allclose(np.asarray(a.inside_h),
-                               np.asarray(b.inside_h), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(a.inside_s),
-                               np.asarray(b.inside_s), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(a.outside_h),
-                               np.asarray(b.outside_h), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(a.outside_s),
-                               np.asarray(b.outside_s), atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(a.cky_bp),
-                                  np.asarray(b.cky_bp))

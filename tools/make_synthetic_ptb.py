@@ -9,6 +9,7 @@ demonstrate grammar induction (eval F1 above the right-branching
 baseline), not just loss descent.
 
 Usage: python tools/make_synthetic_ptb.py out_dir [n_train] [n_valid]
+           [emb_dim] [emb_noise]
 """
 
 import os
@@ -91,7 +92,7 @@ def tree_spans(tree):
     return spans
 
 
-def write_embeddings(path, classes, dim=64, seed=7):
+def write_embeddings(path, classes, dim=64, noise=0.15, seed=7):
     """Class-structured fixed embeddings (GloVe text format, --emb w2v).
 
     Grammar induction on this corpus needs FIXED pretrained-style
@@ -105,7 +106,7 @@ def write_embeddings(path, classes, dim=64, seed=7):
         for words in classes.values():
             base = rng.randn(dim)
             for word in words:
-                vec = base + 0.15 * rng.randn(dim)
+                vec = base + noise * rng.randn(dim)
                 f.write(word + " "
                         + " ".join(f"{v:.4f}" for v in vec) + "\n")
 
@@ -145,8 +146,10 @@ def main():
         print(f"{path}: {len(lens)} sentences, len {min(lens)}-{max(lens)},"
               f" vocab {len(word2idx)}")
 
+    emb_dim = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    emb_noise = float(sys.argv[5]) if len(sys.argv) > 5 else 0.15
     emb_path = os.path.join(out_dir, "glove.txt")
-    write_embeddings(emb_path, classes)
+    write_embeddings(emb_path, classes, dim=emb_dim, noise=emb_noise)
     print(f"{emb_path}: class-structured fixed embeddings (--emb w2v)")
 
 
