@@ -8,7 +8,7 @@ in the reference's build_net via a commented import, trainer.py:520)
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -62,8 +62,6 @@ def remove_using_flat_mask(tree, mask):
 
 def postprocess(tree, tokens=None):
     """Detach a trailing punctuation token (reference: parse.py:63-79)."""
-    from cliora_tpu.analysis.trees import tree_to_spans  # noqa: F401
-
     if tokens is None:
         def flatten(tr):
             if not isinstance(tr, (list, tuple)):
