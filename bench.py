@@ -8,7 +8,7 @@ the reference's Flickr training envelope at a TPU-sized batch.
 Production config: bf16 compute/chart storage with f32 accumulation
 (validated by tests/test_bf16.py: chart closeness, loss overlap,
 descent-curve overlap, gradient cosine vs the gold-parity f32 path) and
-the fused span x region score reduction (attn_impl='chunked',
+the fused span x region score reduction (attn_impl='pallas',
 parity-tested in tests/test_span_region.py).  f32 single-chip reference
 point and the measurement history: BASELINE.md.
 
@@ -48,7 +48,7 @@ def main():
     cfg = ModelConfig(size=D, input_size=E, use_obj=True, n_regions=R,
                       obj_feat_size=F, compute_dtype="bfloat16")
     tc = TrainConfig(lr=5e-4, k_neg=K, vg_loss=True, use_contr=True,
-                     emb_trainable=True, attn_impl="chunked")
+                     emb_trainable=True, attn_impl="pallas")
     trainer = Trainer.build(cfg, tc, V, seed=0)
 
     rs = np.random.RandomState(0)
