@@ -53,12 +53,23 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         return
     env_coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     env_nproc = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
     multiprocess = (
         coordinator_address is not None
         or num_processes not in (None, 1)
         or (env_coord is not None and env_nproc not in (None, "1")))
     if not multiprocess:
         return  # single process; nothing to do
+    # jax.distributed.initialize only auto-detects the coordinator from
+    # env, not the process topology -- forward the env values explicitly
+    # or an env-driven launch dies with "Number of processes must be
+    # defined."
+    if coordinator_address is None:
+        coordinator_address = env_coord
+    if num_processes is None and env_nproc is not None:
+        num_processes = int(env_nproc)
+    if process_id is None and env_pid is not None:
+        process_id = int(env_pid)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

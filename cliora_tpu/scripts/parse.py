@@ -111,7 +111,9 @@ def run(options):
             num_batches += 1
 
             real = batch_map.get("real_size", batch_map["batch_size"])
-            trees_spans = eval_batch_trees(res["cky_bp"][:real], length)
+            trees_spans = eval_batch_trees(
+                res["cky_bp"][:real], length,
+                padded_length=batch_map.get("padded_length"))
             boxes = np.asarray(batch_map["boxes"])
 
             if options.visualize and "atten_score" in res:

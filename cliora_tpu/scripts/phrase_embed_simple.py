@@ -84,8 +84,9 @@ def run(options):
         else:
             if options.parse_mode == "latent":
                 span_lists = []
-                for bid, (tree, _) in enumerate(
-                        eval_batch_trees(res["cky_bp"][:B], length)):
+                for bid, (tree, _) in enumerate(eval_batch_trees(
+                        res["cky_bp"][:B], length,
+                        padded_length=batch_map.get("padded_length"))):
                     toks = [idx2word[i] for i in
                             batch_map["sentences"][bid].tolist()]
                     tr = replace_leaves(tree, toks)

@@ -19,6 +19,18 @@ def word_mask(lengths, L):
     return jnp.arange(L, dtype=jnp.int32)[None] < lengths[:, None]
 
 
+def valid_cell_mask(n: int, lengths):
+    """(B, ncells(n)) bool: the cell's span lies inside ``[0, m)``, i.e.
+    the chart value at this cell is meaningful for an example of true
+    length ``m`` (pad cells hold garbage in padded length buckets)."""
+    from cliora_tpu.chart.offsets import cell_coords
+
+    lev_np, pos_np = cell_coords(n)
+    lev = jnp.asarray(lev_np, jnp.int32)[None]     # (1, NC)
+    pos = jnp.asarray(pos_np, jnp.int32)[None]
+    return pos + lev + 1 <= lengths[:, None]
+
+
 def contrastive_cell_mask(n: int, lengths):
     """(B, ncells(n)) bool: cells of the padded chart that the reference's
     half-chart contrastive slice would cover at each true length ``m``.
@@ -136,10 +148,26 @@ def _contrastive_from_cell_scores(ins, outs, scores, margin, alpha_contr,
     d2 = diag[:, None, :]                        # own-text score per image
 
     eye = jnp.eye(B, dtype=bool)[None]
+    drop_txt = drop_img = eye
+    mask = None
+    if lengths is not None:
+        # a (cell, text) pair whose cell is a pad cell for *that text*
+        # holds a garbage span score: exclude it from BOTH hinge
+        # directions (loss_img averages over texts, so the text-side
+        # marginal weighting alone would not keep other examples' pad
+        # cells out).  For uniform-length batches no valid term is
+        # dropped and denominators stay B -- exact parity with the
+        # unbucketed case (pinned by tests/test_bucketing.py).
+        n = int(round(((8 * NC + 1) ** 0.5 - 1) / 2))
+        mask = contrastive_cell_mask(n, lengths)            # (B, NC)
+        invalid_t = ~jnp.transpose(
+            valid_cell_mask(n, lengths))[:, :, None]        # (NC, B_t, 1)
+        drop_txt = eye | invalid_t
+        drop_img = eye | invalid_t
     loss_txt = jnp.maximum(margin + scores - d1, MIN_VAL)
     loss_img = jnp.maximum(margin + scores - d2, MIN_VAL)
-    loss_txt = jnp.where(eye, 0.0, loss_txt).mean(axis=2)   # (NC, B_t)
-    loss_img = jnp.where(eye, 0.0, loss_img).mean(axis=1)   # (NC, B_i)
+    loss_txt = jnp.where(drop_txt, 0.0, loss_txt).mean(axis=2)  # (NC, B_t)
+    loss_img = jnp.where(drop_img, 0.0, loss_img).mean(axis=1)  # (NC, B_i)
     vl_loss = (loss_txt + loss_img).T            # (B, NC)
 
     if lengths is None:
@@ -151,10 +179,8 @@ def _contrastive_from_cell_scores(ins, outs, scores, margin, alpha_contr,
     # padded buckets: marginals renormalize against the true root, and
     # the half-chart slice becomes a per-example cell mask.  The exponent
     # is masked BEFORE exp so garbage pad-cell scores can't overflow.
-    n = int(round(((8 * NC + 1) ** 0.5 - 1) / 2))
     root_s = jnp.take_along_axis(
         ins, root_cell_index(n, lengths)[:, None], axis=1)  # (B, 1)
-    mask = contrastive_cell_mask(n, lengths)                # (B, NC)
     span_margs = jnp.exp(jnp.where(mask, ins + outs - root_s, 0.0)) * mask
     loss = jnp.mean(jnp.sum(span_margs * vl_loss, axis=-1))
     return alpha_contr * loss

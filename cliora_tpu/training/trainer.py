@@ -386,8 +386,13 @@ class Trainer:
         the shape (ops/pallas_chart.py).
         """
         impl = impl or self.cfg.parse_impl
+        # the fused kernel implements the mlp compose + soft split
+        # softmax only: hard (S-DIORA) aggregation would silently decode
+        # different trees and treelstm params have no fc0/fc1
         if (impl == "pallas" and not compute_loss and not with_chart
                 and not self.cfg.use_obj
+                and self.cfg.arch == "mlp"
+                and self.cfg.aggregate == "soft"
                 and batch_map.get("lengths") is None):
             from cliora_tpu.ops.pallas_chart import supports
 

@@ -241,3 +241,34 @@ def test_trainer_step_accepts_lengths(setup, rng):
     }
     metrics = tr.step(batch, rng=jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_contrastive_ignores_other_examples_pad_cells(rng):
+    """Heterogeneous-length batches: one example's pad-cell garbage must
+    not leak into another example's contrastive hinge (the image-side
+    mean runs over texts, so text-side weighting alone is not enough)."""
+    from cliora_tpu.training.losses import (
+        contrastive_loss_from_scores,
+        valid_cell_mask,
+    )
+
+    B, n = 3, 6
+    NC = ncells(n)
+    lengths = np.asarray([6, 4, 3], np.int32)
+    ins = jnp.asarray(rng.randn(B, NC, 1).astype(np.float32))
+    outs = jnp.asarray(rng.randn(B, NC, 1).astype(np.float32))
+    scores = jnp.asarray(rng.randn(B, B, NC).astype(np.float32))
+
+    valid = np.asarray(valid_cell_mask(n, jnp.asarray(lengths)))
+    garbage = jnp.asarray(1e4 * (1.0 - valid.astype(np.float32)))  # (B, NC)
+    # corrupt every pad (text, cell) slot in all per-text arrays;
+    # scores axis order is (B_text, B_img, NC)
+    ins_g = ins + garbage[:, :, None]
+    outs_g = outs - garbage[:, :, None]
+    scores_g = scores + garbage[:, None, :]
+
+    kw = dict(margin=0.2, alpha_contr=1.0, lengths=jnp.asarray(lengths))
+    clean = float(contrastive_loss_from_scores(ins, outs, scores, **kw))
+    dirty = float(contrastive_loss_from_scores(ins_g, outs_g, scores_g,
+                                               **kw))
+    np.testing.assert_allclose(dirty, clean, rtol=1e-5, atol=1e-5)

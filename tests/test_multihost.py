@@ -96,3 +96,33 @@ def test_two_process_rendezvous(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER_OK {i}" in out
+
+
+def test_env_topology_forwarded(monkeypatch):
+    """JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID must be passed
+    through explicitly: jax.distributed.initialize only auto-detects the
+    coordinator, and dies with 'Number of processes must be defined'
+    otherwise."""
+    import jax
+
+    captured = {}
+
+    def fake_initialize(coordinator_address=None, num_processes=None,
+                        process_id=None, **kw):
+        captured.update(coordinator_address=coordinator_address,
+                        num_processes=num_processes,
+                        process_id=process_id)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    initialize_multihost()
+    assert captured == {"coordinator_address": "10.0.0.1:1234",
+                        "num_processes": 4, "process_id": 2}
+
+    # explicit args win over env
+    captured.clear()
+    initialize_multihost("host:9", 2, 1)
+    assert captured == {"coordinator_address": "host:9",
+                        "num_processes": 2, "process_id": 1}
