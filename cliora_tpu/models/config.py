@@ -25,6 +25,11 @@ class ModelConfig:
     attn_dropout: float = 0.1       # AttentionHead dropout (cliora.py:32)
     attn_temp: float = 1.0          # AttentionHead temperature
     compute_dtype: str = "float32"  # matmul compute dtype (bfloat16 opt-in)
+    # rematerialize each chart level in the backward (jax.checkpoint):
+    # activations per level are recomputed instead of stored, trading
+    # ~30% step time for O(n) x less live memory -- enables e.g.
+    # B=128 x L=40 training that otherwise exceeds v5e HBM (BASELINE.md)
+    remat: bool = False
     # 'soft': softmax-weighted split aggregation (DIORA); 'hard': argmax
     # split only (the S-DIORA greedy variant -- selectable but never
     # shipped in the reference: cliora/net/trainer.py:525 raises)

@@ -122,43 +122,57 @@ def inside_pass(
     for level in range(1, n):
         L, N = n - level, level
         idx_l, idx_r = INDEX.inside(n, level)
-        lh = jnp.take(inside_h, idx_l, axis=1)      # (B, L*N, D)
-        rh = jnp.take(inside_h, idx_r, axis=1)
-        lc = jnp.take(inside_c, idx_l, axis=1) if use_c else None
-        rc = jnp.take(inside_c, idx_r, axis=1) if use_c else None
 
-        h, c = _compose(cfg, cp, lh, rh, lc, rc)
+        def level_step(inside_h, inside_s, inside_c, obj, lrng,
+                       idx_l=idx_l, idx_r=idx_r, L=L, N=N):
+            lh = jnp.take(inside_h, idx_l, axis=1)   # (B, L*N, D)
+            rh = jnp.take(inside_h, idx_r, axis=1)
+            lc = jnp.take(inside_c, idx_l, axis=1) if use_c else None
+            rc = jnp.take(inside_c, idx_r, axis=1) if use_c else None
 
-        s_bil = bilinear(mat, lh, rh,
-                         compute_dtype=compute_dtype(cfg))   # (B, L*N)
-        ls = jnp.take(inside_s, idx_l, axis=1)[..., 0]
-        rs = jnp.take(inside_s, idx_r, axis=1)[..., 0]
-        s = (s_bil + ls + rs).reshape(B, L, N)
-        if cfg.aggregate == "hard":
-            # greedy (S-DIORA-style): best split only
-            p = jax.nn.one_hot(jnp.argmax(s, -1), N, dtype=s.dtype)
-        else:
-            p = jax.nn.softmax(s, axis=-1)           # softmax over splits
+            h, c = _compose(cfg, cp, lh, rh, lc, rc)
 
-        h_agg = _weighted_agg("blnd,bln->bld", h.reshape(B, L, N, D), p)
-        s_agg = jnp.sum(s * p, axis=-1)              # (B, L)
+            s_bil = bilinear(mat, lh, rh, compute_dtype=cdt)  # (B, L*N)
+            ls = jnp.take(inside_s, idx_l, axis=1)[..., 0]
+            rs = jnp.take(inside_s, idx_r, axis=1)[..., 0]
+            s = (s_bil + ls + rs).reshape(B, L, N)
+            if cfg.aggregate == "hard":
+                # greedy (S-DIORA-style): best split only
+                p = jax.nn.one_hot(jnp.argmax(s, -1), N, dtype=s.dtype)
+            else:
+                p = jax.nn.softmax(s, axis=-1)       # softmax over splits
 
-        h_agg = normalize(cfg.normalize, h_agg)
-        if cfg.use_obj:
-            # visual residual each level (reference: cliora.py:140-157)
-            lrng = jax.random.fold_in(rng, level) if rng is not None else None
-            cxt = region_attention(
-                h_agg, obj, temp=cfg.attn_temp,
-                dropout=cfg.attn_dropout, rng=lrng, train=train,
-                compute_dtype=compute_dtype(cfg))
-            h_agg = normalize(cfg.normalize, h_agg + cxt)
+            h_agg = _weighted_agg("blnd,bln->bld",
+                                  h.reshape(B, L, N, D), p)
+            s_agg = jnp.sum(s * p, axis=-1)          # (B, L)
+
+            h_agg = normalize(cfg.normalize, h_agg)
+            if cfg.use_obj:
+                # visual residual per level (reference: cliora.py:140-157)
+                cxt = region_attention(
+                    h_agg, obj, temp=cfg.attn_temp,
+                    dropout=cfg.attn_dropout, rng=lrng, train=train,
+                    compute_dtype=cdt)
+                h_agg = normalize(cfg.normalize, h_agg + cxt)
+            c_agg = None
+            if use_c:
+                c_agg = _weighted_agg("blnd,bln->bld",
+                                      c.reshape(B, L, N, D), p)
+                c_agg = normalize(cfg.normalize, c_agg)
+            return h_agg, s_agg, c_agg, s
+
+        # remat: store only the level's inputs (the charts) and the small
+        # outputs; the (B, L*N, D) gather/compose intermediates are
+        # recomputed in the backward
+        step = jax.checkpoint(level_step) if cfg.remat else level_step
+        lrng = jax.random.fold_in(rng, level) if rng is not None else None
+        h_agg, s_agg, c_agg, s = step(inside_h, inside_s, inside_c, obj,
+                                      lrng)
 
         off = int(offs[level])
         inside_h = inside_h.at[:, off:off + L].set(h_agg.astype(cdt))
         inside_s = inside_s.at[:, off:off + L].set(s_agg[..., None])
         if use_c:
-            c_agg = _weighted_agg("blnd,bln->bld", c.reshape(B, L, N, D), p)
-            c_agg = normalize(cfg.normalize, c_agg)
             inside_c = inside_c.at[:, off:off + L].set(c_agg.astype(cdt))
 
         if with_cky:
@@ -260,31 +274,46 @@ def outside_pass(
         L = n - level
         N = L - 1
         par_idx, sis_idx = INDEX.outside(n, level)
-        ph = jnp.take(outside_h, par_idx, axis=1)    # (B, N*L, D)
-        sh = jnp.take(inside_h, sis_idx, axis=1)
-        pc = jnp.take(outside_c, par_idx, axis=1) if use_c else None
-        sc = jnp.take(inside_c, sis_idx, axis=1) if use_c else None
 
-        h, c = _compose(cfg, cp, sh, ph, sc, pc)
+        def level_step(outside_h, outside_s, outside_c, inside_h,
+                       inside_s, inside_c, par_idx=par_idx,
+                       sis_idx=sis_idx, level=level, L=L, N=N):
+            ph = jnp.take(outside_h, par_idx, axis=1)    # (B, N*L, D)
+            sh = jnp.take(inside_h, sis_idx, axis=1)
+            pc = jnp.take(outside_c, par_idx, axis=1) if use_c else None
+            sc = jnp.take(inside_c, sis_idx, axis=1) if use_c else None
 
-        s_bil = bilinear(mat, sh, ph,
-                         compute_dtype=compute_dtype(cfg))   # (B, N*L)
-        ps_ = jnp.take(outside_s, par_idx, axis=1)[..., 0]
-        ss_ = jnp.take(inside_s, sis_idx, axis=1)[..., 0]
-        s = (s_bil + ss_ + ps_).reshape(B, N, L)
-        if lengths is not None:
-            combo_ok, target_ok = _outside_masks(level, n, lengths)
-            s = jnp.where(combo_ok, s, MASK_NEG)
-        if cfg.aggregate == "hard":
-            p = jax.nn.one_hot(jnp.argmax(s, 1), N, dtype=s.dtype,
-                               axis=1)
-        else:
-            p = jax.nn.softmax(s, axis=1)            # softmax over combos
+            h, c = _compose(cfg, cp, sh, ph, sc, pc)
 
-        h_agg = _weighted_agg("bnld,bnl->bld", h.reshape(B, N, L, D), p)
-        s_agg = jnp.sum(s * p, axis=1)               # (B, L)
+            s_bil = bilinear(mat, sh, ph, compute_dtype=cdt)  # (B, N*L)
+            ps_ = jnp.take(outside_s, par_idx, axis=1)[..., 0]
+            ss_ = jnp.take(inside_s, sis_idx, axis=1)[..., 0]
+            s = (s_bil + ss_ + ps_).reshape(B, N, L)
+            target_ok = None
+            if lengths is not None:
+                combo_ok, target_ok = _outside_masks(level, n, lengths)
+                s = jnp.where(combo_ok, s, MASK_NEG)
+            if cfg.aggregate == "hard":
+                p = jax.nn.one_hot(jnp.argmax(s, 1), N, dtype=s.dtype,
+                                   axis=1)
+            else:
+                p = jax.nn.softmax(s, axis=1)        # softmax over combos
 
-        h_agg = normalize(cfg.normalize, h_agg).astype(cdt)
+            h_agg = _weighted_agg("bnld,bnl->bld",
+                                  h.reshape(B, N, L, D), p)
+            s_agg = jnp.sum(s * p, axis=1)           # (B, L)
+
+            h_agg = normalize(cfg.normalize, h_agg).astype(cdt)
+            c_agg = None
+            if use_c:
+                c_agg = _weighted_agg("bnld,bnl->bld",
+                                      c.reshape(B, N, L, D), p)
+                c_agg = normalize(cfg.normalize, c_agg)
+            return h_agg, s_agg, c_agg, target_ok
+
+        step = jax.checkpoint(level_step) if cfg.remat else level_step
+        h_agg, s_agg, c_agg, target_ok = step(
+            outside_h, outside_s, outside_c, inside_h, inside_s, inside_c)
 
         off = int(offs[level])
         if lengths is not None:
@@ -298,8 +327,6 @@ def outside_pass(
         outside_h = outside_h.at[:, off:off + L].set(h_agg)
         outside_s = outside_s.at[:, off:off + L].set(s_agg[..., None])
         if use_c:
-            c_agg = _weighted_agg("bnld,bnl->bld", c.reshape(B, N, L, D), p)
-            c_agg = normalize(cfg.normalize, c_agg)
             outside_c = outside_c.at[:, off:off + L].set(c_agg.astype(cdt))
 
     return outside_h, outside_s, outside_c

@@ -39,6 +39,7 @@ def model_config_from_options(options, embeddings) -> ModelConfig:
         use_obj=options.obj_feats,
         compute_dtype="bfloat16" if getattr(options, "bf16", False)
         else "float32",
+        remat=getattr(options, "remat", False),
         parse_impl=getattr(options, "parse_impl", "xla"),
     )
 

@@ -129,6 +129,11 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--finetune_after", default=0, type=int)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 matmul compute in the chart passes.")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize chart levels in the backward "
+                        "(jax.checkpoint): ~30%% slower steps, O(n)x "
+                        "less activation memory -- for long sentences / "
+                        "big batches that exceed HBM.")
     p.add_argument("--parse_impl", default="xla",
                    choices=("xla", "pallas"),
                    help="CKY decode path: fused-in-XLA (default, faster;"
