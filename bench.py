@@ -42,6 +42,11 @@ WARMUP, STEPS = 5, 30
 
 
 def main():
+    # persistent compile cache: remote compiles over the TPU tunnel can
+    # take minutes when the compile service is busy; warm runs start fast
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from cliora_tpu.models.config import ModelConfig
     from cliora_tpu.training.trainer import TrainConfig, Trainer
 
