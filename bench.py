@@ -40,6 +40,23 @@ BASELINE_SENTS_PER_SEC = 2.11
 B, L, D, E, V, K, R, F = 128, 20, 400, 1024, 10000, 100, 36, 2048
 WARMUP, STEPS = 5, 30
 
+# v5e peak: 197 TFLOP/s bf16 (394 int8); the production config computes
+# in bf16.  MFU = XLA-counted FLOPs of the compiled step / step-time /
+# peak -- a hardware-normalized number, unlike vs_baseline (which is the
+# reference torch code on this host's single CPU core).
+V5E_PEAK_BF16 = 197e12
+
+
+def _step_flops(step_fn, *args) -> float:
+    """XLA's FLOP count for the compiled train step (fwd+bwd+Adam)."""
+    try:
+        cost = step_fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
 
 def main():
     # persistent compile cache: remote compiles over the TPU tunnel can
@@ -75,12 +92,18 @@ def main():
     dt = time.time() - t0
 
     sps = B * STEPS / dt
-    print(json.dumps({
+    result = {
         "metric": "cliora_train_sentences_per_sec_per_chip",
         "value": round(sps, 2),
         "unit": "sentences/sec/chip",
         "vs_baseline": round(sps / BASELINE_SENTS_PER_SEC, 2),
-    }))
+    }
+    flops = _step_flops(trainer._train_step, state, tokens, neg, obj, rng)
+    if flops and jax.default_backend() == "tpu":
+        result["mfu_vs_v5e_bf16_peak"] = round(
+            flops / (dt / STEPS) / V5E_PEAK_BF16, 4)
+        result["step_ms"] = round(1e3 * dt / STEPS, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -56,11 +56,12 @@ def run_eval(trainer, iterator, seed: int = 11,
                     res["atten_score"][bid], boxes[bid], phrases)
                 grounding.update(ground_res)
 
-        for bid, (tree, pred_spans) in enumerate(
-                eval_batch_trees(res["cky_bp"][:real], length,
-                                 batch_map.get("padded_length"))):
-            gold_spans = set(batch_map["GT"][bid][:-1])
-            f1.update(pred_spans, gold_spans)
+        if "cky_bp" in res:  # absent for the chart-free --arch word
+            for bid, (tree, pred_spans) in enumerate(
+                    eval_batch_trees(res["cky_bp"][:real], length,
+                                     batch_map.get("padded_length"))):
+                gold_spans = set(batch_map["GT"][bid][:-1])
+                f1.update(pred_spans, gold_spans)
 
     return {
         "corpus_f1": f1.corpus_f1,

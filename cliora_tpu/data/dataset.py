@@ -180,6 +180,12 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
 
     import jax
 
+    # Per-process chunking applies to TRAIN batches only (each process
+    # feeds its local shard of the global batch, reference rank chunking,
+    # cliora/data/batch_iterator.py:53-66).  Validation/parse iterators
+    # stay whole: eval runs per-process-local on the chief over the FULL
+    # validation set (scripts/train.py run_train).
+    chunked = mode == "train"
     it = BatchIterator(
         dataset, extra=extra, negative_sampler=negative_sampler,
         k_neg=getattr(options, "k_neg", 100),
@@ -187,8 +193,8 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
         include_partial=include_partial,
         filter_length=filter_length,
         length_to_size=length_to_size,
-        process_index=jax.process_index(),
-        process_count=jax.process_count(),
+        process_index=jax.process_index() if chunked else 0,
+        process_count=jax.process_count() if chunked else 1,
         pad_batches=pad_batches,
         length_buckets=length_buckets)
     it.word2idx = word2idx

@@ -14,7 +14,10 @@ import dataclasses
 class ModelConfig:
     size: int = 400                 # hidden_dim
     input_size: int = 1024          # embedding width E
-    arch: str = "mlp"               # 'mlp' | 'treelstm'
+    # 'mlp' | 'treelstm': chart models; 'word': the chart-free word-level
+    # grounding baseline (reference: cliora/net/vg.py:477-482, dead code
+    # there -- selectable here, VG loss only)
+    arch: str = "mlp"
     share: bool = True              # tie inside/outside compose+score fns
     normalize: str = "unit"         # 'unit' | 'none'
     compress: bool = False          # outside root = inside root @ mat
@@ -25,11 +28,19 @@ class ModelConfig:
     attn_dropout: float = 0.1       # AttentionHead dropout (cliora.py:32)
     attn_temp: float = 1.0          # AttentionHead temperature
     compute_dtype: str = "float32"  # matmul compute dtype (bfloat16 opt-in)
-    # rematerialize each chart level in the backward (jax.checkpoint):
+    # rematerialize chart levels in the backward (jax.checkpoint):
     # activations per level are recomputed instead of stored, trading
-    # ~30% step time for O(n) x less live memory -- enables e.g.
+    # step time for O(n) x less live memory -- enables e.g.
     # B=128 x L=40 training that otherwise exceeds v5e HBM (BASELINE.md)
     remat: bool = False
+    # selective remat: only levels whose (B, L*N, D) intermediates are at
+    # least this fraction of the biggest level's are checkpointed.
+    # L*N = (n-level)*level is a parabola over levels, so the mid-chart
+    # peak carries most of the live memory; storing the cheap shoulder
+    # levels recovers most of the recompute overhead at a small memory
+    # cost.  0.0 = remat every level (strict superset of the reference,
+    # which has no remat at all).
+    remat_frac: float = 0.0
     # 'soft': softmax-weighted split aggregation (DIORA); 'hard': argmax
     # split only (the S-DIORA greedy variant -- selectable but never
     # shipped in the reference: cliora/net/trainer.py:525 raises)
@@ -41,7 +52,9 @@ class ModelConfig:
     parse_impl: str = "xla"
 
     def __post_init__(self):
-        assert self.arch in ("mlp", "treelstm"), self.arch
+        assert self.arch in ("mlp", "treelstm", "word"), self.arch
+        assert self.arch != "word" or self.use_obj, \
+            "--arch word is a grounding baseline; it requires --obj_feats"
         assert self.normalize in ("unit", "none"), self.normalize
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.aggregate in ("soft", "hard"), self.aggregate

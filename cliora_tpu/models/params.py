@@ -117,11 +117,10 @@ def init_recon_params(key, cfg: ModelConfig):
 def init_params(key, cfg: ModelConfig, embeddings):
     """Full Net parameter tree (reference: cliora/net/trainer.py:227-241)."""
     k_embed, k_diora, k_recon = jax.random.split(key, 3)
-    params = {
-        "embed": init_embed_params(k_embed, cfg, embeddings),
-        "diora": init_diora_params(k_diora, cfg),
-        "reconstruct": init_recon_params(k_recon, cfg),
-    }
+    params = {"embed": init_embed_params(k_embed, cfg, embeddings)}
+    if cfg.arch != "word":  # the word-level baseline is chart-free
+        params["diora"] = init_diora_params(k_diora, cfg)
+        params["reconstruct"] = init_recon_params(k_recon, cfg)
     if cfg.use_obj:
         params["img_encoder"] = init_image_encoder_params(cfg)
     return params

@@ -53,6 +53,22 @@ def compute_dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _remat_level(cfg: ModelConfig, cells: int, peak_cells: int) -> bool:
+    """Whether a level step with ``(B, cells, D)`` intermediates should be
+    checkpointed, given the pass's largest level ``peak_cells``.
+
+    Inside: cells = (n-level)*level, a parabola peaking mid-chart at
+    ~n^2/4.  Outside: cells = (n-level)*(n-level-1), peaking at n(n-1)
+    at level 0.  With ``remat_frac`` > 0 only levels within that fraction
+    of the pass's peak are rematerialized: the small levels are cheap to
+    store and skipping them cuts recompute roughly in proportion to their
+    FLOP share (see ModelConfig.remat_frac).
+    """
+    if not cfg.remat:
+        return False
+    return cells >= cfg.remat_frac * peak_cells
+
+
 def _weighted_agg(pattern: str, h, p):
     """Softmax-weighted aggregation ``einsum(pattern, h, p)``.
 
@@ -163,8 +179,10 @@ def inside_pass(
 
         # remat: store only the level's inputs (the charts) and the small
         # outputs; the (B, L*N, D) gather/compose intermediates are
-        # recomputed in the backward
-        step = jax.checkpoint(level_step) if cfg.remat else level_step
+        # recomputed in the backward (selective per remat_frac)
+        step = (jax.checkpoint(level_step)
+                if _remat_level(cfg, L * N, (n // 2) * (n - n // 2))
+                else level_step)
         lrng = jax.random.fold_in(rng, level) if rng is not None else None
         h_agg, s_agg, c_agg, s = step(inside_h, inside_s, inside_c, obj,
                                       lrng)
@@ -311,7 +329,8 @@ def outside_pass(
                 c_agg = normalize(cfg.normalize, c_agg)
             return h_agg, s_agg, c_agg, target_ok
 
-        step = jax.checkpoint(level_step) if cfg.remat else level_step
+        step = (jax.checkpoint(level_step)
+                if _remat_level(cfg, N * L, n * (n - 1)) else level_step)
         h_agg, s_agg, c_agg, target_ok = step(
             outside_h, outside_s, outside_c, inside_h, inside_s, inside_c)
 

@@ -144,9 +144,12 @@ def bilinear(mat, a, b, compute_dtype=jnp.float32):
     """Split-compatibility score ``s = a^T M b`` per row.
 
     Both contractions run in ``compute_dtype`` (bf16 rides the MXU at
-    full rate); the row inner products accumulate in f32, so only
-    per-element rounding is at the compute dtype, and the backward stays
-    in the compute dtype too (``lowp_einsum``).
+    full rate) and each accumulates in f32 inside the MXU, but the
+    intermediate ``a @ M`` projection is *stored* in the compute dtype
+    before the second contraction -- in bf16 mode the score path takes
+    one bf16 rounding there (validated at cosine-level tolerance,
+    tests/test_bf16.py).  The backward stays in the compute dtype too
+    (``lowp_einsum``).
     (reference: cliora/net/diora.py:77-97 ``Bilinear``)
     """
     am = lowp_einsum("...me,ed->...md", a, mat, compute_dtype,

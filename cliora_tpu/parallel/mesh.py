@@ -43,6 +43,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def is_multiprocess(mesh: Mesh) -> bool:
+    """Whether the mesh spans devices owned by more than one process."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def shard_batch(mesh: Mesh, tree, on_indivisible: str = "error"):
     """Device-put a host batch pytree with batch-axis sharding.
 
@@ -52,9 +57,19 @@ def shard_batch(mesh: Mesh, tree, on_indivisible: str = "error"):
     computing the full batch -- so by default that raises; pass
     ``on_indivisible='warn'`` (eval paths) to replicate with a warning
     instead.
+
+    Multi-process meshes: each process holds only its LOCAL batch chunk
+    (data/batching.py chunks by ``jax.process_index()``, mirroring the
+    reference's rank chunking, cliora/data/batch_iterator.py:53-66), so
+    batch-like arrays are assembled into global arrays via
+    ``jax.make_array_from_process_local_data``; the divisibility contract
+    is local-rows % local-devices.
     """
     assert on_indivisible in ("error", "warn"), on_indivisible
-    n = mesh.devices.size
+    multiproc = is_multiprocess(mesh)
+    n = (len([d for d in mesh.devices.flat
+              if d.process_index == jax.process_index()])
+         if multiproc else mesh.devices.size)
 
     def put(x):
         if isinstance(x, jax.Array):
@@ -63,20 +78,42 @@ def shard_batch(mesh: Mesh, tree, on_indivisible: str = "error"):
         if x.ndim >= 2:
             if x.shape[0] % n != 0 or x.shape[0] == 0:
                 msg = (f"batch axis {x.shape[0]} not divisible by "
-                       f"{n}-device mesh; this would replicate the full "
-                       f"batch onto every device ({n}x wasted compute)")
-                if on_indivisible == "error":
+                       f"{n}-device mesh"
+                       + ("" if multiproc else
+                          "; this would replicate the full batch onto "
+                          f"every device ({n}x wasted compute)"))
+                if on_indivisible == "error" or multiproc:
                     raise ValueError(msg)
                 import warnings
                 warnings.warn(msg, stacklevel=3)
                 return jax.device_put(x, replicated(mesh))
+            if multiproc:
+                return jax.make_array_from_process_local_data(
+                    batch_sharding(mesh, x.ndim), x)
             return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        if multiproc:
+            # shared vector: identical on every process by construction
+            # (same-seed samplers), so local data IS the global value
+            return jax.make_array_from_process_local_data(
+                replicated(mesh), x)
         return jax.device_put(x, replicated(mesh))
 
     return jax.tree.map(put, tree)
 
 
 def replicate_tree(mesh: Mesh, tree):
-    """Replicate parameters / optimizer state across the mesh."""
+    """Replicate parameters / optimizer state across the mesh.
+
+    Multi-process meshes assemble global arrays from the host value, which
+    is identical on every process by construction (same-seed init /
+    checkpoint load on all processes).
+    """
     sh = replicated(mesh)
+    if is_multiprocess(mesh):
+        def to_global(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x  # already a global array (e.g. re-replication)
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(x))
+        return jax.tree.map(to_global, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -70,6 +70,18 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         num_processes = int(env_nproc)
     if process_id is None and env_pid is not None:
         process_id = int(env_pid)
+    # validate the resolved topology up front: on platforms without
+    # auto-detection jax.distributed.initialize fails opaquely when parts
+    # of it are missing
+    if coordinator_address is None:
+        raise ValueError(
+            "multi-process init requested but no coordinator address: "
+            "pass coordinator_address or set JAX_COORDINATOR_ADDRESS")
+    if (num_processes is not None and num_processes > 1
+            and process_id is None):
+        raise ValueError(
+            f"multi-process init with num_processes={num_processes} but "
+            "no process id: pass process_id or set JAX_PROCESS_ID")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -40,6 +40,7 @@ def model_config_from_options(options, embeddings) -> ModelConfig:
         compute_dtype="bfloat16" if getattr(options, "bf16", False)
         else "float32",
         remat=getattr(options, "remat", False),
+        remat_frac=getattr(options, "remat_frac", 0.0),
         parse_impl=getattr(options, "parse_impl", "xla"),
     )
 

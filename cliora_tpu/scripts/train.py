@@ -66,69 +66,102 @@ def run_train(options, train_iterator, trainer, validation_iterator):
 
     seeds = generate_seeds(options.max_epoch, options.seed)
     step = 0
-    best_f1 = 0.0
+    best_f1 = -1.0
+    best_epoch = None
+    profiling = False
 
     from cliora_tpu.data.prefetch import device_prefetch
 
-    for epoch, seed in zip(range(options.max_epoch), seeds):
-        logger.info(f"epoch={epoch} seed={seed}")
-        batches = (bm for bm in train_iterator.get_iterator(
-            random_seed=seed) if bm["length"] > 2)
-        for batch_map in device_prefetch(batches, mesh=trainer.mesh):
-            if options.profile_steps and step == 0:
-                jax.profiler.start_trace(
-                    os.path.join(options.experiment_path, "profile"))
-            try:
-                result = dict(trainer.step(batch_map))
-            except Exception:
-                # (reference: cliora/net/trainer.py:469-481 -- report the
-                # failing batch shape before bailing)
-                logger.info("Step failed with batch shape: {}".format(
-                    np.asarray(batch_map["sentences"]).shape))
-                raise
-            if options.profile_steps and step == options.profile_steps - 1:
-                jax.block_until_ready(trainer.state.params)
-                jax.profiler.stop_trace()
-                logger.info("Profiler trace written to {}/profile".format(
-                    options.experiment_path))
-            result["length"] = batch_map["length"]
-            result["batch_size"] = batch_map["batch_size"]
-            experiment_logger.record(result)
-            if step % options.log_every_batch == 0:
-                experiment_logger.log_batch(
-                    epoch, step, step, batch_size=options.batch_size)
-            step += 1
+    try:
+        for epoch, seed in zip(range(options.max_epoch), seeds):
+            logger.info(f"epoch={epoch} seed={seed}")
+            batches = (bm for bm in train_iterator.get_iterator(
+                random_seed=seed) if bm["length"] > 2)
+            for batch_map in device_prefetch(batches, mesh=trainer.mesh):
+                if options.profile_steps and step == 0:
+                    jax.profiler.start_trace(
+                        os.path.join(options.experiment_path, "profile"))
+                    profiling = True
+                try:
+                    result = dict(trainer.step(batch_map))
+                except Exception:
+                    # (reference: cliora/net/trainer.py:469-481 -- report
+                    # the failing batch shape before bailing)
+                    logger.info("Step failed with batch shape: {}".format(
+                        np.asarray(batch_map["sentences"]).shape))
+                    raise
+                if profiling and step + 1 >= options.profile_steps:
+                    profiling = _stop_profiler(trainer, options, logger)
+                result["length"] = batch_map["length"]
+                result["batch_size"] = batch_map["batch_size"]
+                experiment_logger.record(result)
+                if step % options.log_every_batch == 0:
+                    experiment_logger.log_batch(
+                        epoch, step, step, batch_size=options.batch_size)
+                step += 1
+                if options.max_step is not None and step >= options.max_step:
+                    break
+
+            experiment_logger.log_epoch(epoch, step)
+
+            local_params = trainer.local_params()
+            if is_chief:
+                base = os.path.join(options.experiment_path,
+                                    f"model.epoch_{epoch}")
+                save_params(base + ".npz", local_params,
+                            save_embeddings=save_emb)
+                export_torch_checkpoint(base + ".pt", local_params,
+                                        save_embeddings=save_emb)
+                save_opt_state(base + ".opt.pkl",
+                               trainer.local_opt_state())
+                save_experiment(
+                    os.path.join(options.experiment_path,
+                                 f"experiment.epoch_{epoch}.json"), step)
+
+                metrics = run_eval(trainer, validation_iterator,
+                                   seed=options.seed,
+                                   use_obj=options.obj_feats)
+                corpus_f1 = metrics["corpus_f1"]
+                if corpus_f1 > best_f1:
+                    # keep-best checkpoint: F1 oscillates +-0.03 late in
+                    # training (BASELINE.md), so the last epoch is usually
+                    # not the best one.  The reference keeps only per-epoch
+                    # files (cliora/scripts/train.py:105-107).
+                    best_f1, best_epoch = corpus_f1, epoch
+                    best = os.path.join(options.experiment_path,
+                                        "model.best")
+                    save_params(best + ".npz", local_params,
+                                save_embeddings=save_emb,
+                                extra={"epoch": epoch,
+                                       "corpus_f1": corpus_f1})
+                    export_torch_checkpoint(best + ".pt", local_params,
+                                            save_embeddings=save_emb)
+                logger.info(
+                    f"epoch={epoch} corpus_f1={corpus_f1:.4f} "
+                    f"sent_f1={metrics['sent_f1']:.4f} "
+                    f"grounding_acc={metrics['grounding_acc']:.4f} "
+                    f"best_f1={best_f1:.4f}")
+            trainer.epoch_barrier()
+
             if options.max_step is not None and step >= options.max_step:
+                logger.info(f"Max-Step={options.max_step} Quitting.")
                 break
+    finally:
+        if profiling:
+            _stop_profiler(trainer, options, logger)
+        if is_chief and best_epoch is not None:
+            logger.info(f"best model: epoch={best_epoch} "
+                        f"corpus_f1={best_f1:.4f} "
+                        f"(model.best.npz / model.best.pt)")
 
-        experiment_logger.log_epoch(epoch, step)
 
-        if is_chief:
-            base = os.path.join(options.experiment_path,
-                                f"model.epoch_{epoch}")
-            save_params(base + ".npz", trainer.params,
-                        save_embeddings=save_emb)
-            export_torch_checkpoint(base + ".pt", trainer.params,
-                                    save_embeddings=save_emb)
-            save_opt_state(base + ".opt.pkl", trainer.state.opt_state)
-            save_experiment(
-                os.path.join(options.experiment_path,
-                             f"experiment.epoch_{epoch}.json"), step)
-
-            metrics = run_eval(trainer, validation_iterator,
-                               seed=options.seed,
-                               use_obj=options.obj_feats)
-            corpus_f1 = metrics["corpus_f1"]
-            best_f1 = max(best_f1, corpus_f1)
-            logger.info(
-                f"epoch={epoch} corpus_f1={corpus_f1:.4f} "
-                f"sent_f1={metrics['sent_f1']:.4f} "
-                f"grounding_acc={metrics['grounding_acc']:.4f} "
-                f"best_f1={best_f1:.4f}")
-
-        if options.max_step is not None and step >= options.max_step:
-            logger.info(f"Max-Step={options.max_step} Quitting.")
-            return
+def _stop_profiler(trainer, options, logger) -> bool:
+    """Close the --profile_steps trace; returns the new profiling flag."""
+    jax.block_until_ready(trainer.state.params)
+    jax.profiler.stop_trace()
+    logger.info("Profiler trace written to {}/profile".format(
+        options.experiment_path))
+    return False
 
 
 def run(options):
@@ -144,8 +177,15 @@ def run(options):
     embeddings = train_dataset["embeddings"]
 
     logger.info("Initializing model.")
-    n_dev = options.n_devices or jax.local_device_count()
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if jax.process_count() > 1:
+        # multi-process: the dp mesh must span ALL global devices even if
+        # each process owns just one (1-chip-per-host pods / the 2-process
+        # CPU test harness)
+        n_dev = options.n_devices or jax.device_count()
+        mesh = make_mesh(n_dev)
+    else:
+        n_dev = options.n_devices or jax.local_device_count()
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
     trainer = build_trainer(options, embeddings, mesh=mesh)
 
     run_train(options, train_iterator, trainer, validation_iterator)

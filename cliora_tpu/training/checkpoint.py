@@ -55,11 +55,15 @@ _TORCH_NAME = {
 
 
 def flatten(params) -> Dict[str, np.ndarray]:
+    from cliora_tpu.training.trainer import _local_value
+
     out = {}
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     for path, leaf in flat:
         key = SEP.join(str(getattr(p, "key", p)) for p in path)
-        out[key] = np.asarray(leaf)
+        # global (multi-process) arrays are not np-convertible directly;
+        # materialize the process-local replica first
+        out[key] = np.asarray(_local_value(leaf))
     return out
 
 

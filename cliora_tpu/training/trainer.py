@@ -177,6 +177,23 @@ def losses_from(cfg: ModelConfig, tc: TrainConfig, params, tokens,
     return metrics
 
 
+def word_grounding_losses(cfg: ModelConfig, tc: TrainConfig, params,
+                          tokens, obj_feats, lengths=None):
+    """Chart-free word-level grounding baseline: VG InfoNCE loss only.
+
+    (reference: cliora/net/vg.py:477-482 -- dead code there; here it is a
+    selectable --arch word baseline)
+    """
+    from cliora_tpu.models.word_grounding import word_grounding_forward
+
+    _, x_word = embed_forward(params["embed"], tokens,
+                              trainable=tc.emb_trainable)
+    _, obj_word = image_encoder_forward(params["img_encoder"], obj_feats)
+    wg = word_grounding_forward(x_word, obj_word)
+    vgl = vg_loss(wg.vg_atten_score, alpha_vg=tc.alpha_vg, lengths=lengths)
+    return wg, {"vg_loss": vgl, "total_loss": vgl}
+
+
 def compute_losses(
     cfg: ModelConfig,
     tc: TrainConfig,
@@ -189,6 +206,10 @@ def compute_losses(
     lengths=None,
 ):
     """Forward + all enabled losses; returns (total, metrics)."""
+    if cfg.arch == "word":
+        _, metrics = word_grounding_losses(cfg, tc, params, tokens,
+                                           obj_feats, lengths=lengths)
+        return metrics["total_loss"], metrics
     out, aux = forward_outputs(cfg, tc, params, tokens, obj_feats=obj_feats,
                                rng=rng, train=train, lengths=lengths)
     metrics = losses_from(cfg, tc, params, tokens, neg_samples, out, aux,
@@ -200,6 +221,27 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jax.Array
+
+
+def _local_value(x):
+    """Fully-addressable view of a (replicated) global array leaf.
+
+    Under a multi-process mesh the train-state leaves are global arrays
+    that are not fully addressable per process: ``np.asarray`` (the
+    checkpoint path) and single-device eval dispatch both raise on them.
+    Params/opt-state are replicated over ``dp``, so each process's first
+    addressable shard already holds the complete value -- the analogue of
+    every reference DDP rank owning a full local model
+    (cliora/scripts/train.py:105-116).  Genuinely sharded leaves fall back
+    to a cross-process allgather.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shard = x.addressable_shards[0]
+        if shard.data.shape == x.shape:  # replicated leaf
+            return shard.data
+        from jax.experimental import multihost_utils
+        return jnp.asarray(multihost_utils.process_allgather(x))
+    return x
 
 
 def make_optimizer(tc: TrainConfig, mask):
@@ -273,6 +315,12 @@ class Trainer:
         def parse_step(params, tokens, neg_samples, obj_feats,
                        compute_loss: bool, outside: bool,
                        with_chart: bool = False, lengths=None):
+            if cfg.arch == "word":
+                # chart-free baseline: no trees, grounding scores only
+                wg, metrics = word_grounding_losses(
+                    cfg, tc, params, tokens, obj_feats, lengths=lengths)
+                return ({"atten_score": wg.atten_score},
+                        metrics if compute_loss else {})
             out, aux = forward_outputs(
                 cfg, tc, params, tokens, obj_feats=obj_feats, rng=None,
                 train=False, with_cky=True, outside=outside,
@@ -324,6 +372,26 @@ class Trainer:
     def params(self):
         return self.state.params
 
+    @property
+    def multiprocess(self) -> bool:
+        from cliora_tpu.parallel.mesh import is_multiprocess
+        return self.mesh is not None and is_multiprocess(self.mesh)
+
+    def local_params(self):
+        """Params as fully-addressable arrays (see ``_local_value``)."""
+        return jax.tree.map(_local_value, self.state.params)
+
+    def local_opt_state(self):
+        return jax.tree.map(_local_value, self.state.opt_state)
+
+    def epoch_barrier(self):
+        """Keep processes in step at epoch boundaries so non-chief
+        processes don't run ahead of the chief's eval+checkpoint into the
+        next epoch's collectives."""
+        if self.multiprocess:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("cliora_tpu.epoch")
+
     def step(self, batch_map: Dict[str, Any], train: bool = True,
              rng: Optional[jax.Array] = None):
         """One optimization (or eval) step from a host-side batch_map.
@@ -333,6 +401,20 @@ class Trainer:
         Returns metrics dict of python floats.
         """
         lengths = batch_map.get("lengths")
+        if not train and self.multiprocess:
+            # eval is per-process-local (chief-only in the epoch loop):
+            # run it on the addressable param replica with plain local
+            # arrays, off the global mesh -- dispatching a global-mesh
+            # computation from one process would hang the collective.
+            tokens = jnp.asarray(batch_map["sentences"])
+            neg = jnp.asarray(batch_map["neg_samples"])
+            obj = batch_map.get("obj_feats")
+            obj = jnp.asarray(obj) if obj is not None else None
+            if lengths is not None:
+                lengths = jnp.asarray(lengths, jnp.int32)
+            metrics = self._eval_step(self.local_params(), tokens, neg,
+                                      obj, lengths)
+            return metrics
         if self.mesh is not None:
             from cliora_tpu.parallel.mesh import (
                 batch_sharding,
@@ -386,6 +468,8 @@ class Trainer:
         the shape (ops/pallas_chart.py).
         """
         impl = impl or self.cfg.parse_impl
+        # parse/eval is per-process-local; see Trainer.step's eval branch
+        params = self.local_params() if self.multiprocess else self.params
         # the fused kernel implements the mlp compose + soft split
         # softmax only: hard (S-DIORA) aggregation would silently decode
         # different trees and treelstm params have no fc0/fc1
@@ -399,8 +483,7 @@ class Trainer:
             tokens_np = np.asarray(batch_map["sentences"])
             B, L = tokens_np.shape
             if supports(L, self.cfg.size, B):
-                bp = self._parse_pallas(self.params,
-                                        jnp.asarray(tokens_np))
+                bp = self._parse_pallas(params, jnp.asarray(tokens_np))
                 return {"cky_bp": np.asarray(bp)}, {}
         tokens = jnp.asarray(batch_map["sentences"])
         neg = batch_map.get("neg_samples")
@@ -416,7 +499,7 @@ class Trainer:
         if compute_loss:
             outside = True  # losses need the outside chart
         res, metrics = self._parse_step(
-            self.params, tokens, neg, obj, compute_loss=compute_loss,
+            params, tokens, neg, obj, compute_loss=compute_loss,
             outside=outside, with_chart=with_chart, lengths=lengths)
         res = {k: np.asarray(v) for k, v in res.items()}
         return res, {k: float(v) for k, v in metrics.items()}
@@ -424,7 +507,8 @@ class Trainer:
     def parameter_norm(self, trainable_only: bool = True) -> float:
         """Sum of per-parameter L2 norms (reference: trainer.py:360-367)."""
         total = 0.0
-        leaves = jax.tree.leaves(self.params)
+        p = self.local_params() if self.multiprocess else self.params
+        leaves = jax.tree.leaves(p)
         masks = jax.tree.leaves(self.mask)
         for p, m in zip(leaves, masks):
             if trainable_only and not m:

@@ -88,7 +88,7 @@ def argument_parser() -> argparse.ArgumentParser:
     # Model
     # 'hard' = S-DIORA greedy aggregation (mlp compose + argmax split)
     p.add_argument("--arch", default="mlp",
-                   choices=("mlp", "treelstm", "hard"))
+                   choices=("mlp", "treelstm", "hard", "word"))
     p.add_argument("--share", action="store_false")
     p.add_argument("--hidden_dim", default=400, type=int)
     p.add_argument("--normalize", default="unit",
@@ -134,6 +134,13 @@ def argument_parser() -> argparse.ArgumentParser:
                         "(jax.checkpoint): ~30%% slower steps, O(n)x "
                         "less activation memory -- for long sentences / "
                         "big batches that exceed HBM.")
+    p.add_argument("--remat_frac", default=0.0, type=float,
+                   help="with --remat, only checkpoint levels whose "
+                        "intermediates are >= this fraction of the "
+                        "pass's biggest level (0.0 = every level); the "
+                        "mid-chart peak carries most of the live memory "
+                        "so e.g. 0.5 keeps most of the memory win at a "
+                        "fraction of the recompute overhead.")
     p.add_argument("--parse_impl", default="xla",
                    choices=("xla", "pallas"),
                    help="CKY decode path: fused-in-XLA (default, faster;"

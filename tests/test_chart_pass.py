@@ -151,9 +151,11 @@ def test_root_cell_convention():
 
 
 
-def test_remat_grads_match(rng):
-    """cfg.remat (per-level jax.checkpoint) must be a pure memory/compute
-    trade: losses and gradients identical to the unremated path."""
+@pytest.mark.parametrize("remat_frac", [0.0, 0.6])
+def test_remat_grads_match(rng, remat_frac):
+    """cfg.remat (per-level jax.checkpoint; selective via remat_frac)
+    must be a pure memory/compute trade: losses and gradients identical
+    to the unremated path."""
     import dataclasses
     from cliora_tpu.training.trainer import TrainConfig, compute_losses
     from cliora_tpu.models.params import init_params
@@ -161,13 +163,16 @@ def test_remat_grads_match(rng):
     V, R, F = 50, 3, 12
     cfg = ModelConfig(size=12, input_size=10, use_obj=True, n_regions=R,
                       obj_feat_size=F, attn_dropout=0.0)
-    cfg_r = dataclasses.replace(cfg, remat=True)
+    cfg_r = dataclasses.replace(cfg, remat=True, remat_frac=remat_frac)
     tc = TrainConfig(lr=1e-3, k_neg=5, vg_loss=True, use_contr=True,
                      emb_trainable=True)
     params = init_params(jax.random.PRNGKey(0), cfg, V)
     params = jax.tree.map(
         lambda x: x + 0.1 * jax.random.normal(
-            jax.random.PRNGKey(hash(str(x.shape)) % 2**31), x.shape),
+            # stable per-leaf seed (hash() is salted by PYTHONHASHSEED)
+            jax.random.PRNGKey(
+                sum(d * 31 ** i for i, d in enumerate(x.shape)) % 2**31),
+            x.shape),
         params)
     toks = jnp.asarray(rng.randint(2, V, (3, 7)))
     neg = jnp.asarray(rng.choice(V, 5, replace=False))
@@ -183,6 +188,8 @@ def test_remat_grads_match(rng):
     np.testing.assert_allclose(l1, l0, rtol=1e-6)
     g0 = jax.grad(lambda p: total(cfg, p))(params)
     g1 = jax.grad(lambda p: total(cfg_r, p))(params)
+    # checkpointed recompute reorders f32 reductions; tolerance covers
+    # reassociation noise only, not a numerics change
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-5, atol=2e-6)
+                                   rtol=1e-4, atol=2e-6)

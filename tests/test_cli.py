@@ -130,6 +130,75 @@ def test_train_and_parse_cli(corpus, tmp_path, monkeypatch):
         assert len(r["pred_boxes"]) == len(r["pred_spans"])
 
 
+def test_keep_best_checkpoint_cli(corpus, tmp_path, monkeypatch):
+    """model.best.npz must track the epoch with the best corpus_f1, not
+    the last epoch (F1 oscillates late in training -- BASELINE.md)."""
+    import dataclasses
+    import cliora_tpu.scripts.common as common_mod
+    from cliora_tpu.scripts import train as train_script
+    from cliora_tpu.scripts.common import model_config_from_options
+
+    def small_cfg(options, embeddings):
+        cfg = model_config_from_options(options, embeddings)
+        return dataclasses.replace(cfg, obj_feat_size=64, n_regions=3)
+
+    monkeypatch.setattr(common_mod, "model_config_from_options", small_cfg)
+
+    # scripted eval: epoch 1 is the best, last epoch is worse
+    f1s = iter([0.3, 0.9, 0.5])
+
+    def fake_eval(trainer, iterator, seed=11, use_obj=False):
+        f1 = next(f1s)
+        return {"corpus_f1": f1, "sent_f1": f1, "grounding_acc": 0.0}
+
+    monkeypatch.setattr(train_script, "run_eval", fake_eval)
+
+    exp = str(tmp_path / "exp_best")
+    train_script.main(_common_args(corpus, exp) + ["--max_epoch", "3"])
+
+    best = os.path.join(exp, "model.best.npz")
+    assert os.path.exists(best)
+    assert os.path.exists(os.path.join(exp, "model.best.pt"))
+    with np.load(best) as z:
+        assert int(z["__extra__/epoch"]) == 1
+        assert float(z["__extra__/corpus_f1"]) == pytest.approx(0.9)
+        # content identical to the epoch-1 per-epoch checkpoint
+        with np.load(os.path.join(exp, "model.epoch_1.npz")) as z1:
+            for k in z1.files:
+                np.testing.assert_array_equal(z[k], z1[k])
+
+
+def test_profile_steps_closes_trace(corpus, tmp_path, monkeypatch):
+    """--profile_steps larger than the run's step count must still close
+    the trace at exit (round-2 review: the stop condition never fired if
+    the epoch or --max_step ended first)."""
+    import dataclasses
+    import cliora_tpu.scripts.common as common_mod
+    from cliora_tpu.scripts import train as train_script
+    from cliora_tpu.scripts.common import model_config_from_options
+
+    def small_cfg(options, embeddings):
+        cfg = model_config_from_options(options, embeddings)
+        return dataclasses.replace(cfg, obj_feat_size=64, n_regions=3)
+
+    monkeypatch.setattr(common_mod, "model_config_from_options", small_cfg)
+
+    calls = {"start": 0, "stop": 0}
+    import jax
+
+    monkeypatch.setattr(jax.profiler, "start_trace",
+                        lambda *a, **k: calls.__setitem__(
+                            "start", calls["start"] + 1))
+    monkeypatch.setattr(jax.profiler, "stop_trace",
+                        lambda: calls.__setitem__("stop", calls["stop"] + 1))
+
+    exp = str(tmp_path / "exp_prof")
+    train_script.main(_common_args(corpus, exp)
+                      + ["--max_epoch", "1", "--max_step", "2",
+                         "--profile_steps", "100"])
+    assert calls == {"start": 1, "stop": 1}
+
+
 def test_right_branch_cli(corpus, tmp_path):
     from cliora_tpu.scripts import right_branch
 

@@ -12,6 +12,7 @@ import subprocess
 import sys
 import textwrap
 
+import numpy as np
 import pytest
 
 from cliora_tpu.parallel.multihost import (
@@ -98,6 +99,118 @@ def test_two_process_rendezvous(tmp_path):
         assert f"WORKER_OK {i}" in out
 
 
+_EPOCH_WORKER = textwrap.dedent("""
+    import glob, json, os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+
+    pid = int(sys.argv[1])
+    corpus = {corpus!r}
+    out = {out!r}
+
+    from cliora_tpu.scripts import train as train_script
+
+    base = [
+        "--data_type", "flickr", "--emb", "none",
+        "--train_path", os.path.join(corpus, "flickr_train.json"),
+        "--validation_path", os.path.join(corpus, "flickr_test.json"),
+        "--hidden_dim", "16", "--k_neg", "4", "--batch_size", "8",
+        "--validation_batch_size", "4", "--lr", "1e-3", "--seed", "3",
+        "--master_addr", "127.0.0.1", "--master_port", {port!r},
+        "--world_size", "2", "--local_rank", str(pid),
+    ]
+    exp1 = os.path.join(out, "exp1")
+    train_script.main(base + ["--experiment_path", exp1,
+                              "--max_epoch", "2"])
+    assert jax.process_count() == 2
+
+    ckpt = os.path.join(exp1, "model.epoch_1.npz")
+    best = os.path.join(exp1, "model.best.npz")
+    if pid == 0:
+        # chief-only artifacts: per-epoch + keep-best checkpoints, opt
+        # state, experiment json (both processes share the fs, so only
+        # existence on the chief is checkable)
+        for p in (ckpt, best, ckpt.replace(".npz", ".opt.pkl"),
+                  os.path.join(exp1, "experiment.epoch_1.json")):
+            assert os.path.exists(p), p
+
+    # resume from the chief's checkpoint on BOTH processes (shared fs)
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("ckpt-ready")
+    exp2 = os.path.join(out, "exp2")
+    train_script.main(base + ["--experiment_path", exp2,
+                              "--max_epoch", "1", "--resume", ckpt])
+    if pid == 0:
+        assert os.path.exists(os.path.join(exp2, "model.epoch_0.npz"))
+    print("WORKER_OK", pid)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_full_epoch(tmp_path):
+    """Full multi-process workflow: 2 processes meet at a coordinator,
+    train 2 epochs over the global 2-device dp mesh (per-process batch
+    chunks assembled into global arrays), the chief evals + checkpoints
+    (incl. keep-best), then both resume from the chief's checkpoint.
+
+    This is the leg the round-2 review flagged: replicated params under a
+    multi-process mesh are not fully addressable, so eval/checkpoint must
+    materialize process-local replicas (Trainer.local_params)."""
+    import json
+
+    import pickle
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    words = ["_PAD", "<unk>", "a", "dog", "cat", "runs", "fast", "the",
+             "big", "red"]
+    rs = np.random.RandomState(0)
+    for split, n_sent in (("train", 32), ("test", 8)):
+        lines, ids = [], []
+        for i in range(n_sent):
+            n = 5  # fixed length -> full batches of 8 guaranteed
+            sent = " ".join(words[rs.randint(2, len(words))]
+                            for _ in range(n))
+            gold = [(j, n - 1) for j in range(n - 2, 0, -1)] + [(0, n - 1)]
+            lines.append(json.dumps([sent, gold]))
+            ids.append(f"{100 + i}\t0")
+        (corpus / f"flickr_{split}.json").write_text("\n".join(lines))
+        (corpus / f"{split}.txt").write_text("\n".join(ids))
+        if split == "test":
+            anno = {f"{100 + i}_0": [
+                {"phr0": (0, 2, [0.0, 0.0, 10.0, 10.0])}, [1, 1]]
+                for i in range(n_sent)}
+            with open(corpus / f"gt_anno_{split}.pkl", "wb") as f:
+                pickle.dump(anno, f)
+    (corpus / "flickr.dic.json").write_text(
+        json.dumps({w: i for i, w in enumerate(words)}))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_EPOCH_WORKER.format(
+        repo=REPO, corpus=str(corpus), out=str(tmp_path),
+        port=str(port)))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # 1 device per process
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER_OK {i}" in out
+
+
 def test_env_topology_forwarded(monkeypatch):
     """JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID must be passed
     through explicitly: jax.distributed.initialize only auto-detects the
@@ -126,3 +239,19 @@ def test_env_topology_forwarded(monkeypatch):
     initialize_multihost("host:9", 2, 1)
     assert captured == {"coordinator_address": "host:9",
                         "num_processes": 2, "process_id": 1}
+
+
+def test_incomplete_topology_raises(monkeypatch):
+    """Partial multi-process topology must fail with a clear error, not
+    an opaque jax.distributed one (advisor finding, round 2)."""
+    import jax
+
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: pytest.fail("should not initialize"))
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    with pytest.raises(ValueError, match="JAX_PROCESS_ID"):
+        initialize_multihost("host:9", 4, None)
+    with pytest.raises(ValueError, match="coordinator"):
+        initialize_multihost(None, 4, 0)

@@ -119,6 +119,38 @@ def test_cliora_losses_train_step(rng):
     assert m2["total_loss"] != m["total_loss"]
 
 
+def test_word_grounding_baseline_trains(rng):
+    """--arch word (chart-free word-level grounding, reference vg.py
+    dead code made selectable): VG loss descends, and parse/eval return
+    grounding scores with no trees."""
+    B, R, F = 4, 3, 16
+    cfg = ModelConfig(size=D, input_size=E, arch="word", use_obj=True,
+                      n_regions=R, obj_feat_size=F)
+    tc = TrainConfig(lr=1e-2, k_neg=5, vg_loss=True, emb_trainable=True)
+    trainer = Trainer.build(cfg, tc, V, seed=0)
+    assert "diora" not in trainer.params  # chart-free
+
+    batch = {
+        "sentences": _synthetic_batch(rng, B, 6, V),
+        "neg_samples": rng.choice(V, 5, replace=False),
+        "obj_feats": rng.randn(B, R, F).astype(np.float32),
+    }
+    losses = []
+    for step in range(40):
+        m = trainer.step(batch, rng=jax.random.PRNGKey(step))
+        losses.append(float(m["total_loss"]))
+        assert set(m) == {"vg_loss", "total_loss"}
+    assert np.isfinite(losses).all()
+    # InfoNCE over B=4 images starts at ln(4); overfitting one batch
+    # must drive it well below that
+    assert np.mean(losses[-5:]) < 0.5 * np.log(B), losses
+
+    res, metrics = trainer.parse(batch, compute_loss=True)
+    assert "cky_bp" not in res
+    assert res["atten_score"].shape == (B, 6, R)
+    assert np.isfinite(metrics["vg_loss"])
+
+
 def test_freeze_modes(rng):
     cfg = ModelConfig(size=D, input_size=E)
     batch = {
