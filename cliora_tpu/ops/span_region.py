@@ -135,8 +135,144 @@ def _fwd(span, obj, impl):
 BWD_CHUNK = 16
 
 
+def _bwd_w(g_ref, am_ref, R, cdt):
+    """The g-weighted argmax one-hot ``W (tile, C*R)``, built on lanes.
+
+    ``W[t, c*R+r] = g[t, c] * (am[t, c] == r)`` -- the matmul operand that
+    encodes both backward einsums without the (A, C, M, R) one-hot ever
+    existing in HBM.
+    """
+    tile, C = g_ref.shape
+    lanes = C * R
+    # r-major lanes (l = r*C + c): the C-periodic tiling is a lane
+    # concatenation, which Mosaic lowers directly (jnp.repeat's
+    # lane-collapsing reshape does not)
+    g_t = jnp.concatenate([g_ref[...]] * R, axis=1)        # (tile, R*C)
+    am_t = jnp.concatenate([am_ref[...]] * R, axis=1)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 1) // C
+    return jnp.where(am_t == r_iota, g_t, 0.0).astype(cdt)
+
+
+def _dspan_kernel(R, cdt, g_ref, am_ref, obj_ref, out_ref):
+    """dspan[t] = W[t] @ obj_flat  ((tile, C*R) @ (C*R, D))."""
+    w = _bwd_w(g_ref, am_ref, R, cdt)
+    out_ref[...] = jax.lax.dot_general(
+        w, obj_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _dobj_kernel(R, Rblk, cdt, g_ref, am_ref, span_ref, out_ref):
+    """dobj[r*C+c] += W^T[r*C+c] @ span_tile for r in this region block,
+    accumulated over row tiles (i, the fast grid axis)."""
+    tile, C = g_ref.shape
+    lanes = Rblk * C
+    rb = pl.program_id(0)
+    g_t = jnp.concatenate([g_ref[...]] * Rblk, axis=1)     # (tile, Rblk*C)
+    am_t = jnp.concatenate([am_ref[...]] * Rblk, axis=1)
+    r_iota = (jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 1) // C
+              + rb * Rblk)
+    w = jnp.where(am_t == r_iota, g_t, 0.0).astype(cdt)
+    acc = jax.lax.dot_general(
+        w, span_ref[...].astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[...] = acc
+
+    @pl.when(i > 0)
+    def _acc():
+        out_ref[...] += acc
+
+
+DSPAN_TILE = 256
+DOBJ_TILE = 256
+
+
+def _dobj_rblk(R: int, C: int, D: int) -> int:
+    """Largest divisor of R whose (Rblk*C, D) f32 out block is <= ~2.5MB
+    (the block is double-buffered; the full (R*C, D) accumulator was a
+    VMEM-stack OOM at production sizes)."""
+    for rb in sorted((d for d in range(1, R + 1) if R % d == 0),
+                     reverse=True):
+        if rb * C * D * 4 <= 2_500_000:
+            return rb
+    return 1
+
+
+def _bwd_pallas(span, obj, am, g):
+    """Fused backward: two kernels (dspan blocked over rows; dobj's full
+    (C*R, D) accumulator resident in VMEM across row tiles), matmuls in
+    the span dtype (bf16 in the production path -- the scan-based
+    backward runs them f32).  The (A, C, M, R) one-hot never exists."""
+    A, M, D = span.shape
+    C, R, _ = obj.shape
+    cdt = span.dtype
+    rows = A * M
+    if rows >= DSPAN_TILE:
+        tile, tile2 = DSPAN_TILE, DOBJ_TILE  # tile2 divides tile
+        r_pad = -rows % tile
+    else:
+        tile = tile2 = rows  # single full-row block
+        r_pad = 0
+
+    flat = span.reshape(rows, D)
+    g2 = jnp.moveaxis(g, 1, 2).reshape(rows, C)        # (rows, C) f32
+    am2 = jnp.moveaxis(am, 1, 2).reshape(rows, C)
+    if r_pad:
+        # zero-padded g rows contribute nothing (their W rows are 0)
+        flat = jnp.pad(flat, ((0, r_pad), (0, 0)))
+        g2 = jnp.pad(g2, ((0, r_pad), (0, 0)))
+        am2 = jnp.pad(am2, ((0, r_pad), (0, 0)))
+    rows_p = rows + r_pad
+    # r-major rows to match _bwd_w's lane order (l = r*C + c)
+    obj_flat = jnp.moveaxis(obj, 0, 1).reshape(R * C, D).astype(cdt)
+    interp = jax.default_backend() not in ("tpu", "axon")
+
+    dspan = pl.pallas_call(
+        functools.partial(_dspan_kernel, R, cdt),
+        grid=(rows_p // tile,),
+        interpret=interp,
+        in_specs=[
+            pl.BlockSpec((tile, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # obj (C*R, D)
+        ],
+        out_specs=pl.BlockSpec((tile, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_p, D), jnp.float32),
+    )(g2, am2, obj_flat)[:rows]
+
+    rblk = _dobj_rblk(R, C, D)
+    dobj = pl.pallas_call(
+        functools.partial(_dobj_kernel, R, rblk, cdt),
+        grid=(R // rblk, rows_p // tile2),
+        interpret=interp,
+        in_specs=[
+            pl.BlockSpec((tile2, C), lambda rb, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile2, C), lambda rb, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile2, D), lambda rb, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rblk * C, D), lambda rb, i: (rb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R * C, D), jnp.float32),
+    )(g2, am2, flat)
+    dobj = jnp.moveaxis(dobj.reshape(R, C, D), 0, 1)
+
+    return (dspan.reshape(A, M, D).astype(span.dtype),
+            dobj.astype(obj.dtype))
+
+
 def _bwd(impl, res, g):
     span, obj, am = res
+    if impl == "pallas":
+        return _bwd_pallas(span, obj, am, g)
     A, M, D = span.shape
     C, R, _ = obj.shape
 
