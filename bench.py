@@ -80,29 +80,42 @@ def main():
     obj = jnp.asarray(rs.randn(B, R, F).astype(np.float32))
     rng = jax.random.key(0, impl="rbg")   # TPU hardware RNG for dropout
 
+    # K_CALL steps per dispatch (the production --steps_per_call path,
+    # Trainer.steps): amortizes per-dispatch latency, which otherwise
+    # floors the loop at ~1.2 ms/step device-idle over this
+    # environment's TPU tunnel (BASELINE.md round 3)
+    K_CALL = 10
+    xs = {"tokens": jnp.broadcast_to(tokens, (K_CALL,) + tokens.shape),
+          "neg": jnp.broadcast_to(neg, (K_CALL,) + neg.shape),
+          "obj": jnp.broadcast_to(obj, (K_CALL,) + obj.shape)}
+
     state = trainer.state
-    for i in range(WARMUP):
-        state, metrics = trainer._train_step(state, tokens, neg, obj, rng)
-    float(metrics["total_loss"])  # sync
+    for i in range(max(1, WARMUP // K_CALL)):
+        state, metrics = trainer._multi_step(state, xs, rng)
+    float(metrics["total_loss"][-1])  # explicit sync: block_until_ready
+                                      # is unreliable over the TPU tunnel
 
     t0 = time.time()
-    for i in range(STEPS):
-        state, metrics = trainer._train_step(state, tokens, neg, obj, rng)
-    float(metrics["total_loss"])  # sync
+    for i in range(STEPS // K_CALL):
+        state, metrics = trainer._multi_step(state, xs, rng)
+    float(metrics["total_loss"][-1])  # sync
     dt = time.time() - t0
+    n_steps = (STEPS // K_CALL) * K_CALL
 
-    sps = B * STEPS / dt
+    sps = B * n_steps / dt
     result = {
         "metric": "cliora_train_sentences_per_sec_per_chip",
         "value": round(sps, 2),
         "unit": "sentences/sec/chip",
         "vs_baseline": round(sps / BASELINE_SENTS_PER_SEC, 2),
     }
+    # FLOPs from the single-step program: XLA's cost analysis counts a
+    # scanned (while-loop) body only once
     flops = _step_flops(trainer._train_step, state, tokens, neg, obj, rng)
     if flops and jax.default_backend() == "tpu":
         result["mfu_vs_v5e_bf16_peak"] = round(
-            flops / (dt / STEPS) / V5E_PEAK_BF16, 4)
-        result["step_ms"] = round(1e3 * dt / STEPS, 2)
+            flops / (dt / n_steps) / V5E_PEAK_BF16, 4)
+        result["step_ms"] = round(1e3 * dt / n_steps, 2)
     print(json.dumps(result))
 
 

@@ -58,6 +58,49 @@ def generate_seeds(n, seed=11):
     return [random.randint(0, 2 ** 16) for _ in range(n)]
 
 
+def step_stream(trainer, batches, steps_per_call: int = 1):
+    """Yield (batch_map, metrics) pairs; with steps_per_call > 1,
+    consecutive same-shape batches are run as ONE device dispatch
+    (Trainer.steps) to amortize per-dispatch latency.
+
+    Failures report the offending batch shape before propagating
+    (reference: cliora/net/trainer.py:469-481)."""
+    def shape_of(bm):
+        # works for numpy and (prefetched) device arrays without a sync
+        return tuple(bm["sentences"].shape)
+
+    def run(fn, bms):
+        try:
+            return fn()
+        except Exception:
+            get_logger().info("Step failed with batch shape: {}".format(
+                shape_of(bms[0])))
+            raise
+
+    if steps_per_call <= 1:
+        for bm in batches:
+            yield bm, run(lambda: trainer.step(bm), [bm])
+        return
+
+    pending = []
+
+    def flush():
+        if not pending:
+            return
+        group = pending[:]
+        ms = run(lambda: trainer.steps(group), group)
+        pending.clear()
+        yield from zip(group, ms)
+
+    for bm in batches:
+        if pending and shape_of(bm) != shape_of(pending[0]):
+            yield from flush()
+        pending.append(bm)
+        if len(pending) == steps_per_call:
+            yield from flush()
+    yield from flush()
+
+
 def run_train(options, train_iterator, trainer, validation_iterator):
     logger = get_logger()
     experiment_logger = ExperimentLogger()
@@ -77,19 +120,19 @@ def run_train(options, train_iterator, trainer, validation_iterator):
             logger.info(f"epoch={epoch} seed={seed}")
             batches = (bm for bm in train_iterator.get_iterator(
                 random_seed=seed) if bm["length"] > 2)
-            for batch_map in device_prefetch(batches, mesh=trainer.mesh):
+            stream = step_stream(
+                trainer, device_prefetch(batches, mesh=trainer.mesh),
+                getattr(options, "steps_per_call", 1))
+            while True:
                 if options.profile_steps and step == 0:
                     jax.profiler.start_trace(
                         os.path.join(options.experiment_path, "profile"))
                     profiling = True
                 try:
-                    result = dict(trainer.step(batch_map))
-                except Exception:
-                    # (reference: cliora/net/trainer.py:469-481 -- report
-                    # the failing batch shape before bailing)
-                    logger.info("Step failed with batch shape: {}".format(
-                        np.asarray(batch_map["sentences"]).shape))
-                    raise
+                    batch_map, metrics = next(stream)
+                except StopIteration:
+                    break
+                result = dict(metrics)
                 if profiling and step + 1 >= options.profile_steps:
                     profiling = _stop_profiler(trainer, options, logger)
                 result["length"] = batch_map["length"]

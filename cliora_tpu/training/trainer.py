@@ -302,6 +302,31 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1), metrics
 
+        @functools.partial(jax.jit, donate_argnums=0)
+        def multi_step(state: TrainState, xs, rng) -> tuple:
+            """K stacked same-shape batches -> K optimizer steps in ONE
+            XLA program (lax.scan).  Amortizes per-dispatch latency --
+            host dispatch/tunnel round trips are the train-loop floor on
+            remote-attached TPUs (BASELINE.md round 3)."""
+            def body(st, x):
+                def loss_fn(p):
+                    return compute_losses(
+                        cfg, tc, p, x["tokens"], x["neg"],
+                        obj_feats=x.get("obj"),
+                        rng=jax.random.fold_in(rng, st.step),
+                        train=True, lengths=x.get("lengths"))
+
+                grads, metrics = jax.grad(loss_fn, has_aux=True)(st.params)
+                grads = jax.tree.map(
+                    lambda g, m: g if m else jnp.zeros_like(g),
+                    grads, mask_flat)
+                updates, opt_state = self.tx.update(
+                    grads, st.opt_state, st.params)
+                params = optax.apply_updates(st.params, updates)
+                return TrainState(params, opt_state, st.step + 1), metrics
+
+            return jax.lax.scan(body, state, xs)
+
         @jax.jit
         def eval_step(params, tokens, neg_samples, obj_feats, lengths=None):
             total, metrics = compute_losses(
@@ -357,6 +382,7 @@ class Trainer:
             return bp
 
         self._train_step = train_step
+        self._multi_step = multi_step
         self._eval_step = eval_step
         self._parse_step = parse_step
         self._parse_pallas = parse_pallas
@@ -453,6 +479,50 @@ class Trainer:
         # every step and serialize the host->device pipeline (float() them
         # when logging).
         return metrics
+
+    def steps(self, batch_maps):
+        """Run ``len(batch_maps)`` same-shape train steps in one dispatch.
+
+        Returns a list of per-step metrics dicts (lazy device slices of
+        the scan-stacked metrics).  Requires all batch_maps to share
+        shapes (the CLI groups consecutive same-bucket batches,
+        scripts/train.py); single-process only -- under a multi-process
+        mesh use per-step dispatch.
+        """
+        assert batch_maps
+        if self.multiprocess:
+            raise NotImplementedError(
+                "steps_per_call > 1 is single-process only")
+        K = len(batch_maps)
+        shapes = {tuple(bm["sentences"].shape) for bm in batch_maps}
+        assert len(shapes) == 1, shapes
+
+        def stacked(key):
+            if batch_maps[0].get(key) is None:
+                return None
+            return jnp.stack([jnp.asarray(bm[key]) for bm in batch_maps])
+
+        xs = {"tokens": stacked("sentences"), "neg": stacked("neg_samples")}
+        obj = stacked("obj_feats")
+        if obj is not None:
+            xs["obj"] = obj
+        lengths = stacked("lengths")
+        if lengths is not None:
+            xs["lengths"] = lengths.astype(jnp.int32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from cliora_tpu.parallel.mesh import DP_AXIS
+            # the batch axis is axis 1 (K leads); neg ids are shared
+            def put(k, x):
+                spec = (P() if k == "neg" else
+                        P(None, DP_AXIS, *([None] * (x.ndim - 2))))
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+            xs = {k: put(k, v) for k, v in xs.items()}
+        rng = jax.random.fold_in(self._host_rng, self._host_step)
+        self._host_step += K
+        self.state, metrics = self._multi_step(self.state, xs, rng)
+        return [jax.tree.map(lambda m, k=k: m[k], metrics)
+                for k in range(K)]
 
     def parse(self, batch_map: Dict[str, Any], compute_loss: bool = False,
               outside: Optional[bool] = None, with_chart: bool = False,

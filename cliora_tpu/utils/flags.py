@@ -134,6 +134,11 @@ def argument_parser() -> argparse.ArgumentParser:
                         "(jax.checkpoint): ~30%% slower steps, O(n)x "
                         "less activation memory -- for long sentences / "
                         "big batches that exceed HBM.")
+    p.add_argument("--steps_per_call", default=1, type=int,
+                   help="group this many consecutive same-shape train "
+                        "batches into ONE device dispatch (lax.scan over "
+                        "optimizer steps); amortizes per-dispatch "
+                        "latency on remote/tunneled TPU hosts.")
     p.add_argument("--remat_frac", default=0.0, type=float,
                    help="with --remat, only checkpoint levels whose "
                         "intermediates are >= this fraction of the "

@@ -130,6 +130,26 @@ def test_train_and_parse_cli(corpus, tmp_path, monkeypatch):
         assert len(r["pred_boxes"]) == len(r["pred_spans"])
 
 
+def test_steps_per_call_cli(corpus, tmp_path, monkeypatch):
+    """--steps_per_call groups same-shape batches into one dispatch;
+    the epoch must complete and checkpoint exactly as per-step does."""
+    import dataclasses
+    import cliora_tpu.scripts.common as common_mod
+    from cliora_tpu.scripts import train as train_script
+    from cliora_tpu.scripts.common import model_config_from_options
+
+    def small_cfg(options, embeddings):
+        cfg = model_config_from_options(options, embeddings)
+        return dataclasses.replace(cfg, obj_feat_size=64, n_regions=3)
+
+    monkeypatch.setattr(common_mod, "model_config_from_options", small_cfg)
+
+    exp = str(tmp_path / "exp_spc")
+    train_script.main(_common_args(corpus, exp)
+                      + ["--max_epoch", "1", "--steps_per_call", "2"])
+    assert os.path.exists(os.path.join(exp, "model.epoch_0.npz"))
+
+
 def test_keep_best_checkpoint_cli(corpus, tmp_path, monkeypatch):
     """model.best.npz must track the epoch with the best corpus_f1, not
     the last epoch (F1 oscillates late in training -- BASELINE.md)."""

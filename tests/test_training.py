@@ -119,6 +119,40 @@ def test_cliora_losses_train_step(rng):
     assert m2["total_loss"] != m["total_loss"]
 
 
+def test_multi_step_matches_per_step(rng):
+    """Trainer.steps (K steps per dispatch, lax.scan) must match K
+    sequential Trainer.step calls: same metrics, same final params.
+    (attn_dropout=0: the two paths draw dropout keys differently, which
+    is the only intended divergence.)"""
+    B, R, F = 4, 3, 16
+    cfg = ModelConfig(size=D, input_size=E, use_obj=True, n_regions=R,
+                      obj_feat_size=F, attn_dropout=0.0)
+    tc = TrainConfig(lr=1e-3, k_neg=5, vg_loss=True, use_contr=True,
+                     emb_trainable=True)
+    batches = []
+    for i in range(3):
+        batches.append({
+            "sentences": _synthetic_batch(rng, B, 6, V),
+            "neg_samples": rng.choice(V, 5, replace=False),
+            "obj_feats": rng.randn(B, R, F).astype(np.float32),
+        })
+
+    t1 = Trainer.build(cfg, tc, V, seed=0)
+    seq = [dict(t1.step(bm)) for bm in batches]
+    t2 = Trainer.build(cfg, tc, V, seed=0)
+    grouped = t2.steps(batches)
+
+    assert len(grouped) == 3
+    for a, b in zip(seq, grouped):
+        for k in a:
+            np.testing.assert_allclose(float(a[k]), float(b[k]),
+                                       rtol=1e-5, err_msg=k)
+    for pa, pb in zip(jax.tree.leaves(t1.params),
+                      jax.tree.leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-6)
+
+
 def test_word_grounding_baseline_trains(rng):
     """--arch word (chart-free word-level grounding, reference vg.py
     dead code made selectable): VG loss descends, and parse/eval return
