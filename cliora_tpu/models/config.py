@@ -45,11 +45,13 @@ class ModelConfig:
     # split only (the S-DIORA greedy variant -- selectable but never
     # shipped in the reference: cliora/net/trainer.py:525 raises)
     aggregate: str = "soft"
-    # 'xla' (default): fused inside+CKY in the XLA chart pass (faster,
-    # measured; see ops/pallas_chart.py STATUS).  'pallas': the fully
-    # fused single-dispatch VMEM-resident kernel, used when
+    # 'auto' (default): the fully fused single-dispatch VMEM-resident
+    # pallas kernel on TPU backends (ties XLA wall, ~140x fewer
+    # dispatches -- ops/pallas_chart.py MEASURED), XLA elsewhere
+    # (interpret-mode pallas is test-only slow).  'xla' / 'pallas'
+    # force one implementation; pallas routes only when
     # pallas_chart.supports() holds (text-only decode path).
-    parse_impl: str = "xla"
+    parse_impl: str = "auto"
 
     def __post_init__(self):
         assert self.arch in ("mlp", "treelstm", "word"), self.arch
@@ -58,4 +60,4 @@ class ModelConfig:
         assert self.normalize in ("unit", "none"), self.normalize
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.aggregate in ("soft", "hard"), self.aggregate
-        assert self.parse_impl in ("xla", "pallas"), self.parse_impl
+        assert self.parse_impl in ("auto", "xla", "pallas"), self.parse_impl

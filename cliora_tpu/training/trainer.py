@@ -538,6 +538,11 @@ class Trainer:
         the shape (ops/pallas_chart.py).
         """
         impl = impl or self.cfg.parse_impl
+        if impl == "auto":
+            # pallas only on real TPU backends: interpret mode (CPU) is
+            # orders of magnitude slower and for kernel tests only
+            impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                    else "xla")
         # parse/eval is per-process-local; see Trainer.step's eval branch
         params = self.local_params() if self.multiprocess else self.params
         # the fused kernel implements the mlp compose + soft split
@@ -552,7 +557,7 @@ class Trainer:
 
             tokens_np = np.asarray(batch_map["sentences"])
             B, L = tokens_np.shape
-            if supports(L, self.cfg.size, B):
+            if supports(L, self.cfg.size, B, self.cfg.compute_dtype):
                 bp = self._parse_pallas(params, jnp.asarray(tokens_np))
                 return {"cky_bp": np.asarray(bp)}, {}
         tokens = jnp.asarray(batch_map["sentences"])

@@ -146,11 +146,12 @@ def argument_parser() -> argparse.ArgumentParser:
                         "mid-chart peak carries most of the live memory "
                         "so e.g. 0.5 keeps most of the memory win at a "
                         "fraction of the recompute overhead.")
-    p.add_argument("--parse_impl", default="xla",
-                   choices=("xla", "pallas"),
-                   help="CKY decode path: fused-in-XLA (default, faster;"
-                        " measured in ops/pallas_chart.py) or the fully"
-                        " fused Pallas kernel.")
+    p.add_argument("--parse_impl", default="auto",
+                   choices=("auto", "xla", "pallas"),
+                   help="CKY decode path: 'auto' (default) uses the "
+                        "fully fused single-dispatch Pallas kernel on "
+                        "TPU and fused-in-XLA elsewhere; 'xla'/'pallas' "
+                        "force one (measured in ops/pallas_chart.py).")
     p.add_argument("--attn_impl", default="einsum",
                    choices=("einsum", "chunked", "pallas"),
                    help="span x region score reduction "
