@@ -25,13 +25,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DP_AXIS = "dp"
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = DP_AXIS) -> Mesh:
-    """1-D device mesh over the first ``n_devices`` devices."""
+def make_mesh(n_devices: Optional[int] = None, axis: str = DP_AXIS,
+              mp: int = 1) -> Mesh:
+    """Device mesh over the first ``n_devices`` devices.
+
+    ``mp > 1`` builds a 2-D ``(dp, mp)`` mesh for tensor parallelism
+    (parallel/sharding.py); ``mp`` is the minor (fastest-varying) axis so
+    model-parallel collectives ride adjacent-chip ICI links.
+    """
     devs = jax.devices()
     if n_devices is not None:
         assert n_devices <= len(devs), (n_devices, len(devs))
         devs = devs[:n_devices]
+    if mp > 1:
+        assert len(devs) % mp == 0, (len(devs), mp)
+        if len({d.process_index for d in devs}) > 1:
+            raise NotImplementedError(
+                "tensor parallelism (mp > 1) supports single-process "
+                "meshes only; multi-process runs use pure dp")
+        from cliora_tpu.parallel.sharding import MP_AXIS
+        return Mesh(np.asarray(devs).reshape(-1, mp), (axis, MP_AXIS))
     return Mesh(np.asarray(devs), (axis,))
+
+
+def dp_size(mesh: Mesh) -> int:
+    """Number of ways the batch axis is sharded (the dp-axis extent)."""
+    return dict(zip(mesh.axis_names, mesh.devices.shape))[DP_AXIS]
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
@@ -69,7 +88,7 @@ def shard_batch(mesh: Mesh, tree, on_indivisible: str = "error"):
     multiproc = is_multiprocess(mesh)
     n = (len([d for d in mesh.devices.flat
               if d.process_index == jax.process_index()])
-         if multiproc else mesh.devices.size)
+         if multiproc else dp_size(mesh))
 
     def put(x):
         if isinstance(x, jax.Array):

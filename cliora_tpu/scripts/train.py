@@ -228,7 +228,8 @@ def run(options):
         mesh = make_mesh(n_dev)
     else:
         n_dev = options.n_devices or jax.local_device_count()
-        mesh = make_mesh(n_dev) if n_dev > 1 else None
+        mesh = (make_mesh(n_dev, mp=options.mp)
+                if n_dev > 1 else None)
     trainer = build_trainer(options, embeddings, mesh=mesh)
 
     run_train(options, train_iterator, trainer, validation_iterator)

@@ -262,6 +262,15 @@ class Trainer:
 
     def __init__(self, cfg: ModelConfig, tc: TrainConfig, params, mesh=None):
         self.cfg = cfg
+        if (mesh is not None and tc.attn_impl == "pallas"
+                and len(mesh.axis_names) > 1):
+            # the fused span x region kernel has no SPMD partitioning
+            # rules for an mp-sharded program; 'chunked' is the same
+            # fused-max math in XLA (ops/span_region.py)
+            import warnings
+            warnings.warn("attn_impl='pallas' is dp-only; using 'chunked' "
+                          "under tensor parallelism", stacklevel=2)
+            tc = dataclasses.replace(tc, attn_impl="chunked")
         self.tc = tc
         self.mesh = mesh
         self.mask = trainable_mask(tc, params)
@@ -273,7 +282,21 @@ class Trainer:
         )
         if mesh is not None:
             from cliora_tpu.parallel.mesh import replicate_tree
-            self.state = replicate_tree(mesh, self.state)
+            from cliora_tpu.parallel.sharding import MP_AXIS, shard_params
+            if MP_AXIS in mesh.axis_names:
+                # tensor parallel: params get Megatron-style specs and
+                # the optimizer state's params-shaped leaves (Adam
+                # mu/nu) are placed to match (parallel/sharding.py)
+                from cliora_tpu.parallel.sharding import shard_opt_state
+                p_sh = shard_params(mesh, params)
+                self.state = TrainState(
+                    params=p_sh,
+                    opt_state=shard_opt_state(
+                        mesh, self.state.opt_state, p_sh),
+                    step=replicate_tree(mesh, self.state.step),
+                )
+            else:
+                self.state = replicate_tree(mesh, self.state)
         # host-side step counter for dropout keys: reading state.step would
         # force a device sync every step.  'rbg' lowers to the TPU hardware
         # RNG (XLA RngBitGenerator): threefry2x32 cost ~4 ms/step just
@@ -402,6 +425,11 @@ class Trainer:
     def multiprocess(self) -> bool:
         from cliora_tpu.parallel.mesh import is_multiprocess
         return self.mesh is not None and is_multiprocess(self.mesh)
+
+    @property
+    def tensor_parallel(self) -> bool:
+        from cliora_tpu.parallel.sharding import MP_AXIS
+        return self.mesh is not None and MP_AXIS in self.mesh.axis_names
 
     def local_params(self):
         """Params as fully-addressable arrays (see ``_local_value``)."""
@@ -543,6 +571,10 @@ class Trainer:
             # orders of magnitude slower and for kernel tests only
             impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
                     else "xla")
+        if impl == "pallas" and self.tensor_parallel:
+            # pallas_call has no SPMD partitioning rules for mp-sharded
+            # params; the XLA path reshards transparently
+            impl = "xla"
         # parse/eval is per-process-local; see Trainer.step's eval branch
         params = self.local_params() if self.multiprocess else self.params
         # the fused kernel implements the mlp compose + soft split

@@ -38,6 +38,11 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_devices", default=None, type=int,
                    help="Width of the data-parallel mesh "
                         "(default: all local devices).")
+    p.add_argument("--mp", default=1, type=int,
+                   help="Tensor-parallel (model) mesh width: devices are "
+                        "arranged as a (dp, mp) mesh and weight matrices "
+                        "are sharded Megatron-style over mp "
+                        "(parallel/sharding.py; single-process only).")
     p.add_argument("--cuda", action="store_true")       # ignored
     p.add_argument("--multigpu", action="store_true")   # ignored
     p.add_argument("--local_rank", default=None, type=int)  # ignored

@@ -150,6 +150,27 @@ def test_steps_per_call_cli(corpus, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(exp, "model.epoch_0.npz"))
 
 
+def test_tensor_parallel_cli(corpus, tmp_path, monkeypatch):
+    """--mp 2 arranges the 8 virtual devices as a (4, 2) mesh with
+    Megatron-sharded weights (parallel/sharding.py); the epoch must
+    train, eval and checkpoint like the pure-dp run."""
+    import dataclasses
+    import cliora_tpu.scripts.common as common_mod
+    from cliora_tpu.scripts import train as train_script
+    from cliora_tpu.scripts.common import model_config_from_options
+
+    def small_cfg(options, embeddings):
+        cfg = model_config_from_options(options, embeddings)
+        return dataclasses.replace(cfg, obj_feat_size=64, n_regions=3)
+
+    monkeypatch.setattr(common_mod, "model_config_from_options", small_cfg)
+
+    exp = str(tmp_path / "exp_mp")
+    train_script.main(_common_args(corpus, exp)
+                      + ["--max_epoch", "1", "--mp", "2"])
+    assert os.path.exists(os.path.join(exp, "model.epoch_0.npz"))
+
+
 def test_keep_best_checkpoint_cli(corpus, tmp_path, monkeypatch):
     """model.best.npz must track the epoch with the best corpus_f1, not
     the last epoch (F1 oscillates late in training -- BASELINE.md)."""

@@ -69,6 +69,100 @@ def test_shard_batch_indivisible_raises(rng):
     assert batch["sentences"].sharding.spec == jax.sharding.PartitionSpec()
 
 
+def test_tp_step_matches_single_device(rng):
+    """(dp=2, mp=4) tensor-parallel text step vs single device.
+
+    Megatron-style sharded matmuls re-associate the contraction psums,
+    so equality is allclose (not bitwise like pure dp).  Text-only, like
+    the dp parity test above: CLIORA's zero-init image encoder receives
+    roundoff-scale gradients early on, which Adam normalizes up to
+    lr-scale updates -- any cross-sharding reduction-order noise is then
+    amplified to O(lr), so those params carry no parity contract (the
+    CLIORA tp step is covered by test_tp_cliora_step_runs)."""
+    cfg = ModelConfig(size=D, input_size=E)
+    tc = TrainConfig(lr=1e-3, k_neg=5, emb_trainable=True)
+    mesh = make_mesh(8, mp=4)
+    assert mesh.devices.shape == (2, 4)
+
+    tr_tp = Trainer.build(cfg, tc, V, seed=0, mesh=mesh)
+    tr_single = Trainer.build(cfg, tc, V, seed=0)
+
+    batch = _batch(rng, 8, 6)
+    rngkey = jax.random.PRNGKey(0)
+    for step in range(3):
+        m_tp = tr_tp.step(batch, rng=rngkey)
+        m_single = tr_single.step(batch, rng=rngkey)
+    np.testing.assert_allclose(
+        m_tp["total_loss"], m_single["total_loss"], rtol=1e-5)
+    f_tp = flatten(tr_tp.local_params())
+    f_single = flatten(tr_single.params)
+    for k in f_tp:
+        np.testing.assert_allclose(np.asarray(f_tp[k]), f_single[k],
+                                   atol=1e-5, err_msg=k)
+
+
+def test_tp_cliora_step_runs(rng):
+    cfg = ModelConfig(size=D, input_size=E, use_obj=True, n_regions=4,
+                      obj_feat_size=32)
+    tc = TrainConfig(lr=1e-3, k_neg=5, vg_loss=True, use_contr=True,
+                     emb_trainable=True)
+    tr = Trainer.build(cfg, tc, V, seed=0, mesh=make_mesh(8, mp=4))
+    batch = _batch(rng, 8, 6)
+    batch["obj_feats"] = rng.randn(8, 4, 32).astype(np.float32)
+    m0 = tr.step(batch, rng=jax.random.PRNGKey(0))
+    m1 = tr.step(batch, rng=jax.random.PRNGKey(1))
+    assert np.isfinite(m0["total_loss"]) and np.isfinite(m1["total_loss"])
+    assert m1["total_loss"] < m0["total_loss"]  # same batch: loss descends
+
+
+def test_tp_params_actually_sharded():
+    from jax.sharding import PartitionSpec as P
+
+    cfg = ModelConfig(size=D, input_size=E)
+    tc = TrainConfig(lr=1e-3, k_neg=5)
+    tr = Trainer.build(cfg, tc, V, seed=0, mesh=make_mesh(8, mp=4))
+    dp_ = tr.params["diora"]
+    assert dp_["inside_compose"]["fc0"]["w"].sharding.spec == P("mp", None)
+    assert dp_["inside_compose"]["fc0"]["b"].sharding.spec == P("mp")
+    assert dp_["inside_compose"]["fc1"]["w"].sharding.spec == P(None, "mp")
+    assert dp_["inside_score"]["mat"].sharding.spec == P(None, "mp")
+    assert tr.params["embed"]["embeddings"].sharding.spec == P(None, "mp")
+    assert tr.params["reconstruct"]["mat"].sharding.spec == P(None, "mp")
+    # row-parallel bias + root vector stay replicated
+    assert dp_["inside_compose"]["fc1"]["b"].sharding.spec == P()
+    assert dp_["root_vector_out_h"].sharding.spec == P()
+    # Adam mu inherited the param shardings through the jitted init
+    mu = tr.state.opt_state[1].inner_state[0].mu
+    assert (mu["diora"]["inside_compose"]["fc0"]["w"].sharding.spec
+            == P("mp", None))
+
+
+def test_tp_indivisible_dim_falls_back_replicated(rng):
+    import pytest
+
+    cfg = ModelConfig(size=12, input_size=E)   # 12 % 8 != 0
+    tc = TrainConfig(lr=1e-3, k_neg=5)
+    with pytest.warns(UserWarning, match="not divisible"):
+        tr = Trainer.build(cfg, tc, V, seed=0, mesh=make_mesh(8, mp=8))
+    from jax.sharding import PartitionSpec as P
+    assert (tr.params["diora"]["inside_compose"]["fc0"]["w"]
+            .sharding.spec == P())
+    m = tr.step(_batch(rng, 8, 5), rng=jax.random.PRNGKey(0))
+    assert np.isfinite(m["total_loss"])
+
+
+def test_tp_parse_and_eval(rng):
+    cfg = ModelConfig(size=D, input_size=E)
+    tc = TrainConfig(lr=1e-3, k_neg=5)
+    mesh = make_mesh(8, mp=4)
+    tr = Trainer.build(cfg, tc, V, seed=0, mesh=mesh)
+    tr_single = Trainer.build(cfg, tc, V, seed=0)
+    batch = _batch(rng, 8, 6)
+    res, _ = tr.parse(batch)            # mp forces the xla decode path
+    res_s, _ = tr_single.parse(batch, impl="xla")
+    np.testing.assert_array_equal(res["cky_bp"], res_s["cky_bp"])
+
+
 def test_dp_cliora_step_runs(rng):
     cfg = ModelConfig(size=D, input_size=E, use_obj=True, n_regions=4,
                       obj_feat_size=32)
