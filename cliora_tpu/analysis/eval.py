@@ -56,11 +56,16 @@ def run_eval(trainer, iterator, seed: int = 11,
                     res["atten_score"][bid], boxes[bid], phrases)
                 grounding.update(ground_res)
 
-        if "cky_bp" in res:  # absent for the chart-free --arch word
+        # F1 needs gold spans; plain-text/jsonl corpora carry none
+        # (the reference only ever evals coco/flickr, which always do --
+        # scripts/train.py:185-189), so eval then reports losses-only 0s
+        gt = batch_map.get("GT")
+        if "cky_bp" in res and gt is not None:
+            # cky_bp absent for the chart-free --arch word
             for bid, (tree, pred_spans) in enumerate(
                     eval_batch_trees(res["cky_bp"][:real], length,
                                      batch_map.get("padded_length"))):
-                gold_spans = set(batch_map["GT"][bid][:-1])
+                gold_spans = set(gt[bid][:-1])
                 f1.update(pred_spans, gold_spans)
 
     return {

@@ -225,7 +225,7 @@ def run(options):
         # each process owns just one (1-chip-per-host pods / the 2-process
         # CPU test harness)
         n_dev = options.n_devices or jax.device_count()
-        mesh = make_mesh(n_dev)
+        mesh = make_mesh(n_dev, mp=options.mp)  # mp>1 raises: dp-only
     else:
         n_dev = options.n_devices or jax.local_device_count()
         mesh = (make_mesh(n_dev, mp=options.mp)

@@ -171,6 +171,30 @@ def test_tensor_parallel_cli(corpus, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(exp, "model.epoch_0.npz"))
 
 
+def test_plain_text_train_cli(tmp_path):
+    """--data_type txt has no gold spans: the epoch eval must report
+    losses-only zeros instead of crashing on the missing GT."""
+    import numpy as np
+    from cliora_tpu.scripts import train as train_script
+
+    rs = np.random.RandomState(0)
+    words = [f"w{i}" for i in range(30)]
+    for split in ("train", "test"):
+        with open(tmp_path / f"{split}.txt", "w") as f:
+            for _ in range(16):
+                f.write(" ".join(
+                    words[rs.randint(0, 30)] for _ in range(6)) + "\n")
+    exp = str(tmp_path / "exp_txt")
+    train_script.main([
+        "--data_type", "txt", "--emb", "none",
+        "--train_path", str(tmp_path / "train.txt"),
+        "--validation_path", str(tmp_path / "test.txt"),
+        "--experiment_path", exp, "--hidden_dim", "16", "--k_neg", "4",
+        "--batch_size", "8", "--validation_batch_size", "8",
+        "--lr", "1e-3", "--max_epoch", "1"])
+    assert os.path.exists(os.path.join(exp, "model.epoch_0.npz"))
+
+
 def test_keep_best_checkpoint_cli(corpus, tmp_path, monkeypatch):
     """model.best.npz must track the epoch with the best corpus_f1, not
     the last epoch (F1 oscillates late in training -- BASELINE.md)."""
