@@ -138,7 +138,7 @@ BWD_CHUNK = 16
 def _bwd_w(g_ref, am_ref, R, cdt):
     """The g-weighted argmax one-hot ``W (tile, C*R)``, built on lanes.
 
-    ``W[t, c*R+r] = g[t, c] * (am[t, c] == r)`` -- the matmul operand that
+    ``W[t, r*C+c] = g[t, c] * (am[t, c] == r)`` -- the matmul operand that
     encodes both backward einsums without the (A, C, M, R) one-hot ever
     existing in HBM.
     """
@@ -154,11 +154,24 @@ def _bwd_w(g_ref, am_ref, R, cdt):
 
 
 def _dspan_kernel(R, cdt, g_ref, am_ref, obj_ref, out_ref):
-    """dspan[t] = W[t] @ obj_flat  ((tile, C*R) @ (C*R, D))."""
+    """dspan[t] += W[t, cb] @ obj_block  ((tile, cblk*R) @ (cblk*R, D)),
+    accumulated over the image-block grid axis cb (the fast axis, so out
+    revisits stay contiguous).  Blocking over images keeps VMEM bounded:
+    the unblocked variant compiled up to C=256 but failed Mosaic
+    scoped-VMEM at C=512 (B=512 contrastive batches, measured)."""
     w = _bwd_w(g_ref, am_ref, R, cdt)
-    out_ref[...] = jax.lax.dot_general(
+    acc = jax.lax.dot_general(
         w, obj_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    cb = pl.program_id(1)
+
+    @pl.when(cb == 0)
+    def _init():
+        out_ref[...] = acc
+
+    @pl.when(cb > 0)
+    def _acc():
+        out_ref[...] += acc
 
 
 def _dobj_kernel(R, Rblk, cdt, g_ref, am_ref, span_ref, out_ref):
@@ -188,6 +201,12 @@ def _dobj_kernel(R, Rblk, cdt, g_ref, am_ref, span_ref, out_ref):
 
 DSPAN_TILE = 256
 DOBJ_TILE = 256
+# images per dspan block: bounds the (tile, R*cblk) lane tiles + the
+# double-buffered (R*cblk, D) obj block at any batch size (the unblocked
+# kernel OOMed Mosaic at C=512).  128 = the Mosaic lane-divisibility
+# minimum for a partial block (a block of the FULL C is always legal,
+# so C < 128 keeps the original single-block layout).
+DSPAN_CBLK = 128
 
 
 def _dobj_rblk(R: int, C: int, D: int) -> int:
@@ -226,25 +245,39 @@ def _bwd_pallas(span, obj, am, g):
         g2 = jnp.pad(g2, ((0, r_pad), (0, 0)))
         am2 = jnp.pad(am2, ((0, r_pad), (0, 0)))
     rows_p = rows + r_pad
-    # r-major rows to match _bwd_w's lane order (l = r*C + c)
-    obj_flat = jnp.moveaxis(obj, 0, 1).reshape(R * C, D).astype(cdt)
     interp = jax.default_backend() not in ("tpu", "axon")
+
+    # dspan blocks over images in chunks of cblk: within a block, obj
+    # rows are r-major (l = r*cblk + c') to match _bwd_w's lane order;
+    # zero-padded g columns contribute zero W rows
+    cblk = min(C, DSPAN_CBLK)
+    c_pad = -C % cblk
+    obj_b = obj.astype(cdt)
+    g2b, am2b = g2, am2
+    if c_pad:
+        obj_b = jnp.pad(obj_b, ((0, c_pad), (0, 0), (0, 0)))
+        g2b = jnp.pad(g2b, ((0, 0), (0, c_pad)))
+        am2b = jnp.pad(am2b, ((0, 0), (0, c_pad)))
+    Cb = (C + c_pad) // cblk
+    obj_b = (obj_b.reshape(Cb, cblk, R, D).swapaxes(1, 2)
+             .reshape(Cb * R * cblk, D))
 
     dspan = pl.pallas_call(
         functools.partial(_dspan_kernel, R, cdt),
-        grid=(rows_p // tile,),
+        grid=(rows_p // tile, Cb),
         interpret=interp,
         in_specs=[
-            pl.BlockSpec((tile, C), lambda i: (i, 0),
+            pl.BlockSpec((tile, cblk), lambda i, cb: (i, cb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, C), lambda i: (i, 0),
+            pl.BlockSpec((tile, cblk), lambda i, cb: (i, cb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # obj (C*R, D)
+            pl.BlockSpec((R * cblk, D), lambda i, cb: (cb, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, D), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, D), lambda i, cb: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_p, D), jnp.float32),
-    )(g2, am2, obj_flat)[:rows]
+    )(g2b, am2b, obj_b)[:rows]
 
     rblk = _dobj_rblk(R, C, D)
     dobj = pl.pallas_call(

@@ -70,22 +70,29 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         num_processes = int(env_nproc)
     if process_id is None and env_pid is not None:
         process_id = int(env_pid)
-    # validate the resolved topology up front: on platforms without
-    # auto-detection jax.distributed.initialize fails opaquely when parts
-    # of it are missing
-    if coordinator_address is None:
-        raise ValueError(
-            "multi-process init requested but no coordinator address: "
-            "pass coordinator_address or set JAX_COORDINATOR_ADDRESS")
-    if (num_processes is not None and num_processes > 1
-            and process_id is None):
-        raise ValueError(
-            f"multi-process init with num_processes={num_processes} but "
-            "no process id: pass process_id or set JAX_PROCESS_ID")
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id)
+    # An incomplete topology is still forwarded: platforms with cluster
+    # auto-detection (Cloud TPU pods, GKE) fill in missing pieces
+    # themselves.  Only if initialize *fails* is the opaque backend error
+    # chained under a clear message naming what was missing (advisor
+    # finding, round 2).
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except Exception as e:
+        missing = []
+        if coordinator_address is None:
+            missing.append("coordinator_address / JAX_COORDINATOR_ADDRESS")
+        if num_processes is not None and num_processes > 1 \
+                and process_id is None:
+            missing.append("process_id / JAX_PROCESS_ID")
+        if missing:
+            raise ValueError(
+                "multi-process init failed; the environment does not "
+                "auto-detect the cluster topology and these were not "
+                "provided: " + ", ".join(missing)) from e
+        raise
 
 
 def is_chief() -> bool:

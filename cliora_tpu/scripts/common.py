@@ -79,11 +79,7 @@ def build_trainer(options, embeddings, mesh=None) -> Trainer:
         assert not missing, missing
         opt_path = options.resume.replace(".npz", ".opt.pkl")
         opt_state = load_opt_state(opt_path, trainer.state.opt_state)
-        trainer.state = trainer.state._replace(params=params,
-                                               opt_state=opt_state)
-        if mesh is not None:
-            from cliora_tpu.parallel.mesh import replicate_tree
-            trainer.state = replicate_tree(mesh, trainer.state)
+        trainer.install_state(params, opt_state)
         logger.info(f"# of params = {param_count(trainer.params)}")
         return trainer
 
@@ -99,10 +95,7 @@ def build_trainer(options, embeddings, mesh=None) -> Trainer:
             params, missing = load_params(options.load_model_path, template)
         for k in missing:
             logger.info(f"Not initialized from checkpoint: {k}")
-        trainer.state = trainer.state._replace(params=params)
-        if mesh is not None:
-            from cliora_tpu.parallel.mesh import replicate_tree
-            trainer.state = replicate_tree(mesh, trainer.state)
+        trainer.install_state(params)
 
     logger.info(f"# of params = {param_count(trainer.params)}")
     return trainer

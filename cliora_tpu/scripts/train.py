@@ -58,10 +58,16 @@ def generate_seeds(n, seed=11):
     return [random.randint(0, 2 ** 16) for _ in range(n)]
 
 
-def step_stream(trainer, batches, steps_per_call: int = 1):
+def step_stream(trainer, batches, steps_per_call: int = 1,
+                max_steps=None):
     """Yield (batch_map, metrics) pairs; with steps_per_call > 1,
     consecutive same-shape batches are run as ONE device dispatch
     (Trainer.steps) to amortize per-dispatch latency.
+
+    ``max_steps`` caps the total optimizer steps *applied*: the final
+    group is truncated so --max_step never overshoots by up to K-1
+    silently-applied-but-uncounted updates (one extra compile for the
+    remainder shape is the cost).
 
     Failures report the offending batch shape before propagating
     (reference: cliora/net/trainer.py:469-481)."""
@@ -83,20 +89,31 @@ def step_stream(trainer, batches, steps_per_call: int = 1):
         return
 
     pending = []
+    done = 0
 
     def flush():
+        nonlocal done
         if not pending:
             return
         group = pending[:]
         ms = run(lambda: trainer.steps(group), group)
         pending.clear()
+        done += len(group)
         yield from zip(group, ms)
 
+    def budget():
+        return (steps_per_call if max_steps is None
+                else min(steps_per_call, max_steps - done))
+
     for bm in batches:
+        if max_steps is not None and done >= max_steps:
+            return
         if pending and shape_of(bm) != shape_of(pending[0]):
             yield from flush()
+            if max_steps is not None and done >= max_steps:
+                return
         pending.append(bm)
-        if len(pending) == steps_per_call:
+        if len(pending) >= budget():
             yield from flush()
     yield from flush()
 
@@ -120,9 +137,12 @@ def run_train(options, train_iterator, trainer, validation_iterator):
             logger.info(f"epoch={epoch} seed={seed}")
             batches = (bm for bm in train_iterator.get_iterator(
                 random_seed=seed) if bm["length"] > 2)
+            remaining = (None if options.max_step is None
+                         else max(0, options.max_step - step))
             stream = step_stream(
                 trainer, device_prefetch(batches, mesh=trainer.mesh),
-                getattr(options, "steps_per_call", 1))
+                getattr(options, "steps_per_call", 1),
+                max_steps=remaining)
             while True:
                 if options.profile_steps and step == 0:
                     jax.profiler.start_trace(
@@ -200,7 +220,11 @@ def run_train(options, train_iterator, trainer, validation_iterator):
 
 def _stop_profiler(trainer, options, logger) -> bool:
     """Close the --profile_steps trace; returns the new profiling flag."""
-    jax.block_until_ready(trainer.state.params)
+    # value sync, not block_until_ready: the latter returns early on
+    # lax.scan outputs over the TPU tunnel (CLAUDE.md), and with
+    # --steps_per_call the params ARE scan carries
+    from cliora_tpu.training.trainer import _local_value
+    float(_local_value(jax.tree.leaves(trainer.state.params)[0]).ravel()[0])
     jax.profiler.stop_trace()
     logger.info("Profiler trace written to {}/profile".format(
         options.experiment_path))

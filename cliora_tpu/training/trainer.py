@@ -431,6 +431,30 @@ class Trainer:
         from cliora_tpu.parallel.sharding import MP_AXIS
         return self.mesh is not None and MP_AXIS in self.mesh.axis_names
 
+    def install_state(self, params=None, opt_state=None):
+        """Re-place loaded (host-side) params / optimizer state on this
+        trainer's mesh, preserving the placement discipline: replicated
+        under pure dp, Megatron-sharded under tensor parallelism (the
+        checkpoint-load paths previously replicate_tree'd everything,
+        silently undoing ``--mp`` sharding)."""
+        params = self.state.params if params is None else params
+        opt_state = self.state.opt_state if opt_state is None else opt_state
+        if self.mesh is None:
+            self.state = TrainState(params, opt_state, self.state.step)
+            return
+        from cliora_tpu.parallel.mesh import replicate_tree
+        if self.tensor_parallel:
+            from cliora_tpu.parallel.sharding import (
+                shard_opt_state,
+                shard_params,
+            )
+            params = shard_params(self.mesh, params)
+            opt_state = shard_opt_state(self.mesh, opt_state, params)
+        else:
+            params = replicate_tree(self.mesh, params)
+            opt_state = replicate_tree(self.mesh, opt_state)
+        self.state = TrainState(params, opt_state, self.state.step)
+
     def local_params(self):
         """Params as fully-addressable arrays (see ``_local_value``)."""
         return jax.tree.map(_local_value, self.state.params)
@@ -483,10 +507,18 @@ class Trainer:
             neg = sharded["neg_samples"]
             obj = sharded.get("obj_feats")
             if lengths is not None and not isinstance(lengths, jax.Array):
-                # (B,) but batch-sharded, unlike other 1-D (shared) arrays
-                lengths = jax.device_put(
-                    np.asarray(lengths, np.int32),
-                    batch_sharding(self.mesh, 1))
+                # (B,) but batch-sharded, unlike other 1-D (shared)
+                # arrays; under a multi-process mesh each process holds
+                # only its local chunk (data/batching.py row-chunks
+                # 'lengths' with the rest of the batch), so the global
+                # array is assembled like shard_batch does for 2-D arrays
+                sh = batch_sharding(self.mesh, 1)
+                arr = np.asarray(lengths, np.int32)
+                if self.multiprocess:
+                    lengths = jax.make_array_from_process_local_data(
+                        sh, arr)
+                else:
+                    lengths = jax.device_put(arr, sh)
         else:
             tokens = jnp.asarray(batch_map["sentences"])
             neg = jnp.asarray(batch_map["neg_samples"])

@@ -171,6 +171,39 @@ def test_tensor_parallel_cli(corpus, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(exp, "model.epoch_0.npz"))
 
 
+def test_max_step_with_steps_per_call_cli(corpus, tmp_path, monkeypatch):
+    """--max_step must not be overshot by a full K-step group: the final
+    dispatch is truncated to the remaining budget."""
+    import dataclasses
+    import cliora_tpu.scripts.common as common_mod
+    from cliora_tpu.scripts import train as train_script
+    from cliora_tpu.scripts.common import model_config_from_options
+    from cliora_tpu.training import trainer as trainer_mod
+
+    def small_cfg(options, embeddings):
+        cfg = model_config_from_options(options, embeddings)
+        return dataclasses.replace(cfg, obj_feat_size=64, n_regions=3)
+
+    monkeypatch.setattr(common_mod, "model_config_from_options", small_cfg)
+
+    group_sizes = []
+    orig_steps = trainer_mod.Trainer.steps
+
+    def spy_steps(self, batch_maps):
+        group_sizes.append(len(batch_maps))
+        return orig_steps(self, batch_maps)
+
+    monkeypatch.setattr(trainer_mod.Trainer, "steps", spy_steps)
+
+    exp = str(tmp_path / "exp_maxstep")
+    train_script.main(_common_args(corpus, exp)
+                      + ["--max_epoch", "3", "--max_step", "3",
+                         "--steps_per_call", "2"])
+    assert sum(group_sizes) == 3, group_sizes   # exactly max_step updates
+    with open(os.path.join(exp, "experiment.epoch_0.json")) as f:
+        assert json.load(f)["step"] <= 3
+
+
 def test_plain_text_train_cli(tmp_path):
     """--data_type txt has no gold spans: the epoch eval must report
     losses-only zeros instead of crashing on the missing GT."""

@@ -151,6 +151,28 @@ def test_tp_indivisible_dim_falls_back_replicated(rng):
     assert np.isfinite(m["total_loss"])
 
 
+def test_tp_install_state_preserves_sharding(rng):
+    """Checkpoint load/resume must re-apply the Megatron shardings, not
+    replicate (the load paths previously replicate_tree'd everything)."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = ModelConfig(size=D, input_size=E)
+    tc = TrainConfig(lr=1e-3, k_neg=5)
+    tr = Trainer.build(cfg, tc, V, seed=0, mesh=make_mesh(8, mp=4))
+    host_params = jax.tree.map(np.asarray, flatten(tr.local_params()))
+    from cliora_tpu.training.checkpoint import unflatten_like
+    loaded, missing, _ = unflatten_like(tr.local_params(), host_params)
+    assert not missing
+    tr.install_state(loaded)
+    assert (tr.params["diora"]["inside_compose"]["fc0"]["w"]
+            .sharding.spec == P("mp", None))
+    mu = tr.state.opt_state[1].inner_state[0].mu
+    assert (mu["diora"]["inside_compose"]["fc0"]["w"].sharding.spec
+            == P("mp", None))
+    m = tr.step(_batch(rng, 8, 5), rng=jax.random.PRNGKey(0))
+    assert np.isfinite(m["total_loss"])
+
+
 def test_tp_parse_and_eval(rng):
     cfg = ModelConfig(size=D, input_size=E)
     tc = TrainConfig(lr=1e-3, k_neg=5)

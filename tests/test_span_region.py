@@ -45,6 +45,30 @@ def test_custom_vjp_matches_autodiff(impl, rng):
                                atol=1e-5)
 
 
+def test_pallas_backward_image_blocking(rng, monkeypatch):
+    """The dspan kernel blocks over images (DSPAN_CBLK) so VMEM stays
+    bounded at large batch; force multi-block (with C-padding) on the
+    tiny test shape and check grads against the einsum oracle."""
+    import cliora_tpu.ops.span_region as sr
+
+    monkeypatch.setattr(sr, "DSPAN_CBLK", 2)   # C=5 -> pad 6, 3 blocks
+    span, obj = _data(rng)
+
+    def ref_loss(span, obj):
+        s = jnp.einsum("amd,crd->acmr", span, obj)
+        return jnp.sum(jnp.tanh(jnp.max(s, -1)))
+
+    def fused_loss(span, obj):
+        return jnp.sum(jnp.tanh(span_region_max(span, obj, "pallas")))
+
+    want = jax.grad(ref_loss, argnums=(0, 1))(span, obj)
+    got = jax.grad(fused_loss, argnums=(0, 1))(span, obj)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               atol=1e-5)
+
+
 def test_trainer_fused_path_matches_einsum(rng):
     """Full CLIORA train step: fused attn_impl == einsum attn_impl."""
     import dataclasses

@@ -79,7 +79,6 @@ def hlo_op_names(trainer, args):
     comp_ops = collections.defaultdict(set)
     current = None
     for line in txt.splitlines():
-        m = re.match(r"\s*%?([\w.\-]+)\s+\([^)]*\)\s*->", line)
         if line.lstrip().startswith(("ENTRY", "%fused", "fused")) or (
                 "{" in line and ("computation" in line or line.startswith(
                     ("%", "ENTRY")))):
