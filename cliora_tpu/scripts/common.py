@@ -59,6 +59,7 @@ def train_config_from_options(options) -> TrainConfig:
         alpha_contr=options.alpha_contr,
         vl_margin=options.vl_margin,
         attn_impl=getattr(options, "attn_impl", "einsum"),
+        accum_steps=getattr(options, "accum_steps", 1),
     )
 
 
@@ -72,14 +73,21 @@ def build_trainer(options, embeddings, mesh=None) -> Trainer:
                             mesh=mesh)
 
     if getattr(options, "resume", None):
-        from cliora_tpu.training.checkpoint import load_opt_state
         logger.info(f"Resuming from: {options.resume}")
-        params, missing = load_params(options.resume,
-                                      trainer.state.params)
-        assert not missing, missing
-        opt_path = options.resume.replace(".npz", ".opt.pkl")
-        opt_state = load_opt_state(opt_path, trainer.state.opt_state)
-        trainer.install_state(params, opt_state)
+        from cliora_tpu.training.orbax_ckpt import is_orbax_dir
+        if is_orbax_dir(options.resume):
+            # sharded collective restore: leaves come back already
+            # placed with the trainer's shardings (orbax_ckpt.py)
+            from cliora_tpu.training.orbax_ckpt import restore_state
+            trainer.state = restore_state(options.resume, trainer.state)
+        else:
+            from cliora_tpu.training.checkpoint import load_opt_state
+            params, missing = load_params(options.resume,
+                                          trainer.state.params)
+            assert not missing, missing
+            opt_path = options.resume.replace(".npz", ".opt.pkl")
+            opt_state = load_opt_state(opt_path, trainer.state.opt_state)
+            trainer.install_state(params, opt_state)
         logger.info(f"# of params = {param_count(trainer.params)}")
         return trainer
 

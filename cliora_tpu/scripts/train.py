@@ -129,6 +129,10 @@ def run_train(options, train_iterator, trainer, validation_iterator):
     best_f1 = -1.0
     best_epoch = None
     profiling = False
+    orbax_saver = None
+    if getattr(options, "ckpt_backend", "npz") == "orbax":
+        from cliora_tpu.training.orbax_ckpt import AsyncSaver
+        orbax_saver = AsyncSaver()
 
     from cliora_tpu.data.prefetch import device_prefetch
 
@@ -167,16 +171,22 @@ def run_train(options, train_iterator, trainer, validation_iterator):
 
             experiment_logger.log_epoch(epoch, step)
 
+            base = os.path.join(options.experiment_path,
+                                f"model.epoch_{epoch}")
+            if orbax_saver is not None:
+                # collective sharded write (ALL processes), finalized on
+                # a background thread -- the chief's eval below overlaps
+                # the checkpoint I/O (training/orbax_ckpt.py)
+                orbax_saver.save(base + ".orbax", trainer.state)
             local_params = trainer.local_params()
             if is_chief:
-                base = os.path.join(options.experiment_path,
-                                    f"model.epoch_{epoch}")
-                save_params(base + ".npz", local_params,
-                            save_embeddings=save_emb)
-                export_torch_checkpoint(base + ".pt", local_params,
-                                        save_embeddings=save_emb)
-                save_opt_state(base + ".opt.pkl",
-                               trainer.local_opt_state())
+                if orbax_saver is None:
+                    save_params(base + ".npz", local_params,
+                                save_embeddings=save_emb)
+                    export_torch_checkpoint(base + ".pt", local_params,
+                                            save_embeddings=save_emb)
+                    save_opt_state(base + ".opt.pkl",
+                                   trainer.local_opt_state())
                 save_experiment(
                     os.path.join(options.experiment_path,
                                  f"experiment.epoch_{epoch}.json"), step)
@@ -212,6 +222,8 @@ def run_train(options, train_iterator, trainer, validation_iterator):
     finally:
         if profiling:
             _stop_profiler(trainer, options, logger)
+        if orbax_saver is not None:
+            orbax_saver.close()  # waits for the in-flight write
         if is_chief and best_epoch is not None:
             logger.info(f"best model: epoch={best_epoch} "
                         f"corpus_f1={best_f1:.4f} "

@@ -1,0 +1,208 @@
+"""Sealed parse artifacts for serving: ``jax.export`` bundles.
+
+Production serving wants a deployable artifact, not a Python model
+tree: this module seals the jitted parse step -- **parameters baked in
+as constants** -- into portable StableHLO via ``jax.export``.  A bundle
+is a directory of per-bucket artifacts (one per padded sentence length,
+the repo's compiled-shape discipline) plus a ``manifest.json``; the
+loader pads each request to its bucket, masks by true length (the same
+traced ``lengths`` mechanics as ``--n_length_buckets`` training), and
+decodes trees host-side.
+
+The batch dimension is exported *symbolically* (shape polymorphism), so
+one artifact serves any batch size.  Artifacts can target multiple
+platforms (e.g. ``["tpu", "cpu"]``) and run under any matching JAX
+runtime with no model code -- the serving-side surface is
+:class:`ExportedParser` only.
+
+The reference has no serving/export story (its parse path re-builds the
+torch net from flags and a checkpoint every run,
+cliora/scripts/parse.py); this subsystem is TPU-native surplus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cliora_tpu.models.config import ModelConfig
+
+MANIFEST = "manifest.json"
+
+
+def _parse_fn(cfg: ModelConfig, tc, params):
+    """Length-masked parse closure with ``params`` baked in.
+
+    Returns ``{"cky_bp": (B, ncells) int32}`` (+ ``atten_score``
+    (B, L, R) for CLIORA grounding).  Mirrors Trainer._parse_step's
+    eval semantics (outside pass only when the visual head needs it).
+    """
+    from cliora_tpu.training.trainer import forward_outputs
+
+    def text_fn(tokens, lengths):
+        out, _ = forward_outputs(
+            cfg, tc, params, tokens, rng=None, train=False,
+            with_cky=True, outside=False, lengths=lengths)
+        return {"cky_bp": out.chart.cky_bp}
+
+    def obj_fn(tokens, lengths, obj_feats):
+        out, _ = forward_outputs(
+            cfg, tc, params, tokens, obj_feats=obj_feats, rng=None,
+            train=False, with_cky=True, outside=True, lengths=lengths)
+        return {"cky_bp": out.chart.cky_bp,
+                "atten_score": out.atten_score}
+
+    return obj_fn if cfg.use_obj else text_fn
+
+
+def export_parser(
+    cfg: ModelConfig,
+    params,
+    bucket_lengths: Sequence[int],
+    *,
+    platforms: Optional[Sequence[str]] = None,
+    batch: Optional[int] = None,
+) -> Dict[int, bytes]:
+    """Serialize one parse artifact per padded sentence length.
+
+    ``batch=None`` exports a symbolic batch dimension (any B at serving
+    time); an int pins it.  ``platforms`` defaults to the current
+    backend; pass e.g. ``["tpu", "cpu"]`` for a portable artifact.
+    """
+    from jax import export as jexport
+
+    from cliora_tpu.training.trainer import TrainConfig
+
+    # serving never materializes the (B, B, cells, R) tensor
+    tc = TrainConfig(attn_impl="chunked")
+    fn = _parse_fn(cfg, tc, params)
+
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+
+    out = {}
+    for L in sorted(set(int(x) for x in bucket_lengths)):
+        assert L >= 2, f"bucket length {L} has no binary tree"
+        specs = [jax.ShapeDtypeStruct((b, L), jnp.int32),
+                 jax.ShapeDtypeStruct((b,), jnp.int32)]
+        if cfg.use_obj:
+            specs.append(jax.ShapeDtypeStruct(
+                (b, cfg.n_regions, cfg.obj_feat_size), jnp.float32))
+        exp = jexport.export(
+            jax.jit(fn), platforms=list(platforms) if platforms else None)(
+                *specs)
+        out[L] = exp.serialize()
+    return out
+
+
+def save_bundle(path: str, cfg: ModelConfig, artifacts: Dict[int, bytes],
+                *, word2idx: Optional[dict] = None,
+                extra_meta: Optional[dict] = None) -> None:
+    """Write a serving bundle: per-bucket artifacts + manifest (+vocab)."""
+    os.makedirs(path, exist_ok=True)
+    files = {}
+    for L, blob in artifacts.items():
+        name = f"parse_L{L}.jaxexport"
+        with open(os.path.join(path, name), "wb") as f:
+            f.write(blob)
+        files[str(L)] = name
+    meta = {
+        "format": "cliora_tpu.jax.export.v1",
+        "jax_version": jax.__version__,
+        "bucket_lengths": sorted(artifacts),
+        "files": files,
+        "use_obj": cfg.use_obj,
+        "n_regions": cfg.n_regions if cfg.use_obj else None,
+        "obj_feat_size": cfg.obj_feat_size if cfg.use_obj else None,
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(meta, f, indent=2)
+    if word2idx is not None:
+        with open(os.path.join(path, "vocab.json"), "w") as f:
+            json.dump(word2idx, f)
+
+
+class ExportedParser:
+    """Serve parses from a sealed bundle -- no model code, no params.
+
+    ``parse`` takes ragged token-id sequences, groups them by the
+    smallest covering bucket, pads (ids beyond the true length are
+    ignored by the length mask), runs the artifact, and returns one
+    binary tree per sentence as nested (start, end) span tuples
+    (analysis/trees.py ``bp_to_tree``).
+    """
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        with open(os.path.join(path, MANIFEST)) as f:
+            self.meta = json.load(f)
+        assert self.meta["format"] == "cliora_tpu.jax.export.v1", self.meta
+        self._fns = {}
+        for L, name in self.meta["files"].items():
+            with open(os.path.join(path, name), "rb") as f:
+                self._fns[int(L)] = jexport.deserialize(f.read())
+        self.bucket_lengths = sorted(self._fns)
+        vocab_path = os.path.join(path, "vocab.json")
+        self.word2idx = None
+        if os.path.exists(vocab_path):
+            with open(vocab_path) as f:
+                self.word2idx = json.load(f)
+
+    def bucket_for(self, n: int) -> int:
+        for L in self.bucket_lengths:
+            if L >= n:
+                return L
+        raise ValueError(
+            f"sentence length {n} exceeds the largest exported bucket "
+            f"{self.bucket_lengths[-1]}")
+
+    def parse(self, sentences: List[Sequence[int]],
+              obj_feats: Optional[np.ndarray] = None):
+        """Token-id sequences -> span trees (+ per-word region argmax
+        for CLIORA bundles when ``obj_feats`` (B, R, F) is given)."""
+        from cliora_tpu.analysis.trees import bp_to_tree
+
+        assert sentences
+        use_obj = bool(self.meta["use_obj"])
+        if use_obj:
+            assert obj_feats is not None, "CLIORA bundle needs obj_feats"
+        order = sorted(range(len(sentences)),
+                       key=lambda i: self.bucket_for(len(sentences[i])))
+        trees: dict = {}
+        attn: dict = {}
+        i = 0
+        while i < len(order):
+            L = self.bucket_for(len(sentences[order[i]]))
+            group = [j for j in order[i:]
+                     if self.bucket_for(len(sentences[j])) == L]
+            i += len(group)
+            toks = np.zeros((len(group), L), np.int32)
+            lens = np.zeros((len(group),), np.int32)
+            for r, j in enumerate(group):
+                lens[r] = len(sentences[j])
+                toks[r, :lens[r]] = np.asarray(sentences[j], np.int32)
+            args = [toks, lens]
+            if use_obj:
+                args.append(np.asarray(
+                    obj_feats[group], np.float32))
+            res = self._fns[L].call(*args)
+            bp = np.asarray(res["cky_bp"])
+            for r, j in enumerate(group):
+                trees[j] = bp_to_tree(L, bp[r], length=int(lens[r]))
+                if use_obj:
+                    a = np.asarray(res["atten_score"])[r, :lens[r]]
+                    attn[j] = a.argmax(-1)
+        out_trees = [trees[j] for j in range(len(sentences))]
+        if use_obj:
+            return out_trees, [attn[j] for j in range(len(sentences))]
+        return out_trees

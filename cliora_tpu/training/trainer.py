@@ -61,11 +61,22 @@ class TrainConfig:
     # (B, B, cells, R) tensor (reference semantics); 'chunked'/'pallas'
     # fuse the max so it never exists in HBM (ops/span_region.py)
     attn_impl: str = "einsum"
+    # gradient accumulation: split each batch into this many sequential
+    # microbatches (lax.scan), average the grads, apply ONE update.
+    # Peak activation memory scales with B/accum_steps -- the memory
+    # lever orthogonal to --remat.  NOTE: batch-coupled losses
+    # (contrastive/VG negatives are the *other examples in the batch*)
+    # see microbatch-sized batches, so accum training equals
+    # `accum_steps` sequential small-batch steps with one averaged
+    # update -- NOT one big-batch step (same caveat as any contrastive
+    # gradient accumulation).
+    accum_steps: int = 1
 
     def __post_init__(self):
         assert self.freeze in ("none", "diora", "except_vis"), self.freeze
         assert self.attn_impl in ("einsum", "chunked", "pallas"), \
             self.attn_impl
+        assert self.accum_steps >= 1, self.accum_steps
 
 
 def trainable_mask(tc: TrainConfig, params) -> Any:
@@ -308,41 +319,100 @@ class Trainer:
         self._host_step = 0
         mask_flat = self.mask
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def train_step(state: TrainState, tokens, neg_samples, obj_feats,
-                       rng, lengths=None) -> tuple:
-            def loss_fn(p):
-                return compute_losses(
-                    cfg, tc, p, tokens, neg_samples, obj_feats=obj_feats,
-                    rng=rng, train=True, lengths=lengths)
+        # pin the step outputs to the state's canonical placement:
+        # without this GSPMD picks output shardings freely, so the
+        # live state's placement drifts from the init placement after
+        # step 1 (observed: replicated leaves upgraded to P('mp')),
+        # costing one extra compile per shape and making
+        # checkpoint-restored trajectories diverge at reduction-order
+        # level from uninterrupted ones (tests/test_orbax.py).
+        if mesh is not None:
+            from jax.sharding import (
+                NamedSharding as _NS,
+                PartitionSpec as _P,
+            )
+            _state_out = (jax.tree.map(lambda x: x.sharding, self.state),
+                          _NS(mesh, _P()))
+        else:
+            _state_out = None
 
-            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        def grads_and_metrics(params, tokens, neg_samples, obj_feats,
+                              rng, lengths):
+            """Masked loss grads; with accum_steps > 1 a lax.scan over
+            microbatches averages the grads (peak activation memory
+            scales with the microbatch -- see TrainConfig.accum_steps
+            for the batch-coupled-loss semantics)."""
+            A = tc.accum_steps
+
+            def grad_of(tok, obj, r, lens):
+                def loss_fn(p):
+                    return compute_losses(
+                        cfg, tc, p, tok, neg_samples, obj_feats=obj,
+                        rng=r, train=True, lengths=lens)
+                return jax.grad(loss_fn, has_aux=True)(params)
+
+            if A <= 1:
+                grads, metrics = grad_of(tokens, obj_feats, rng, lengths)
+            else:
+                B = tokens.shape[0]
+                assert B % A == 0, \
+                    f"batch {B} not divisible by accum_steps {A}"
+
+                def split(x):
+                    return (None if x is None
+                            else x.reshape((A, B // A) + x.shape[1:]))
+
+                xs = {"tok": split(tokens), "i": jnp.arange(A)}
+                if obj_feats is not None:
+                    xs["obj"] = split(obj_feats)
+                if lengths is not None:
+                    xs["lens"] = split(lengths)
+
+                def body(acc, x):
+                    r = (jax.random.fold_in(rng, x["i"])
+                         if rng is not None else None)
+                    g, m = grad_of(x["tok"], x.get("obj"), r,
+                                   x.get("lens"))
+                    return jax.tree.map(jnp.add, acc, (g, m)), None
+
+                # accumulator initialized from the first microbatch;
+                # the scan covers the remaining A-1
+                first = jax.tree.map(lambda v: v[0], xs)
+                rest = jax.tree.map(lambda v: v[1:], xs)
+                r0 = (jax.random.fold_in(rng, first["i"])
+                      if rng is not None else None)
+                acc0 = grad_of(first["tok"], first.get("obj"), r0,
+                               first.get("lens"))
+                acc, _ = jax.lax.scan(body, acc0, rest)
+                grads, metrics = jax.tree.map(lambda s: s / A, acc)
             grads = jax.tree.map(
                 lambda g, m: g if m else jnp.zeros_like(g),
                 grads, mask_flat)
+            return grads, metrics
+
+        @functools.partial(jax.jit, donate_argnums=0,
+                           out_shardings=_state_out)
+        def train_step(state: TrainState, tokens, neg_samples, obj_feats,
+                       rng, lengths=None) -> tuple:
+            grads, metrics = grads_and_metrics(
+                state.params, tokens, neg_samples, obj_feats, rng,
+                lengths)
             updates, opt_state = self.tx.update(
                 grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1), metrics
 
-        @functools.partial(jax.jit, donate_argnums=0)
+        @functools.partial(jax.jit, donate_argnums=0,
+                           out_shardings=_state_out)
         def multi_step(state: TrainState, xs, rng) -> tuple:
             """K stacked same-shape batches -> K optimizer steps in ONE
             XLA program (lax.scan).  Amortizes per-dispatch latency --
             host dispatch/tunnel round trips are the train-loop floor on
             remote-attached TPUs (BASELINE.md round 3)."""
             def body(st, x):
-                def loss_fn(p):
-                    return compute_losses(
-                        cfg, tc, p, x["tokens"], x["neg"],
-                        obj_feats=x.get("obj"),
-                        rng=jax.random.fold_in(rng, st.step),
-                        train=True, lengths=x.get("lengths"))
-
-                grads, metrics = jax.grad(loss_fn, has_aux=True)(st.params)
-                grads = jax.tree.map(
-                    lambda g, m: g if m else jnp.zeros_like(g),
-                    grads, mask_flat)
+                grads, metrics = grads_and_metrics(
+                    st.params, x["tokens"], x["neg"], x.get("obj"),
+                    jax.random.fold_in(rng, st.step), x.get("lengths"))
                 updates, opt_state = self.tx.update(
                     grads, st.opt_state, st.params)
                 params = optax.apply_updates(st.params, updates)

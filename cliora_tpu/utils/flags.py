@@ -144,6 +144,14 @@ def argument_parser() -> argparse.ArgumentParser:
                         "batches into ONE device dispatch (lax.scan over "
                         "optimizer steps); amortizes per-dispatch "
                         "latency on remote/tunneled TPU hosts.")
+    p.add_argument("--accum_steps", default=1, type=int,
+                   help="gradient accumulation: split each batch into "
+                        "this many sequential microbatches (lax.scan), "
+                        "average the grads, apply one update.  Peak "
+                        "activation memory scales with batch/"
+                        "accum_steps -- the memory lever orthogonal to "
+                        "--remat.  Batch-coupled losses (contrastive/VG "
+                        "negatives) scope to the microbatch.")
     p.add_argument("--remat_frac", default=0.0, type=float,
                    help="with --remat, only checkpoint levels whose "
                         "intermediates are >= this fraction of the "
@@ -166,9 +174,19 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="Capture a jax.profiler trace of the first N "
                         "steps to <experiment_path>/profile.")
     p.add_argument("--resume", default=None, type=str,
-                   help="Resume from a model.epoch_N.npz checkpoint: "
-                        "restores params AND optimizer state "
+                   help="Resume from a model.epoch_N.npz checkpoint "
+                        "(or a model.epoch_N.orbax directory): restores "
+                        "params AND optimizer state "
                         "(the reference only warm-starts weights).")
+    p.add_argument("--ckpt_backend", default="npz",
+                   choices=("npz", "orbax"),
+                   help="per-epoch checkpoint format: 'npz' "
+                        "(host-materialized, chief-only -- plus .pt "
+                        "torch export) or 'orbax' (sharded collective "
+                        "write straight from device shards, finalized "
+                        "on a background thread so eval overlaps the "
+                        "I/O; the pod-scale path, "
+                        "training/orbax_ckpt.py).")
     p.add_argument("--jax_cache_dir", default=None, type=str,
                    help="Persistent XLA compilation cache directory; "
                         "same-length batching compiles one executable "

@@ -53,7 +53,10 @@ def setup():
     # zero-init image encoder, reference parity trap)
     params = jax.tree.map(
         lambda x: x + 0.1 * jax.random.normal(
-            jax.random.PRNGKey(hash(str(x.shape)) % 2**31), x.shape),
+            # stable per-leaf seed (hash() is salted by PYTHONHASHSEED)
+            jax.random.PRNGKey(
+                sum(d * 31 ** i for i, d in enumerate(x.shape)) % 2**31),
+            x.shape),
         params)
     return cfg, tc, params
 

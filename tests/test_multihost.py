@@ -268,3 +268,104 @@ def test_incomplete_topology_error_is_clear(monkeypatch):
     # complete topology that still fails: original error propagates
     with pytest.raises(RuntimeError, match="Number of processes"):
         initialize_multihost("host:9", 4, 1)
+
+
+_ORBAX_WORKER = textwrap.dedent("""
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+
+    pid = int(sys.argv[1])
+    corpus = {corpus!r}
+    out = {out!r}
+
+    from cliora_tpu.scripts import train as train_script
+    from cliora_tpu.training.orbax_ckpt import is_orbax_dir
+
+    base = [
+        "--data_type", "flickr", "--emb", "none",
+        "--train_path", os.path.join(corpus, "flickr_train.json"),
+        "--validation_path", os.path.join(corpus, "flickr_test.json"),
+        "--hidden_dim", "16", "--k_neg", "4", "--batch_size", "8",
+        "--validation_batch_size", "4", "--lr", "1e-3", "--seed", "3",
+        "--master_addr", "127.0.0.1", "--master_port", {port!r},
+        "--world_size", "2", "--local_rank", str(pid),
+        "--ckpt_backend", "orbax",
+    ]
+    exp1 = os.path.join(out, "exp1")
+    train_script.main(base + ["--experiment_path", exp1,
+                              "--max_epoch", "1"])
+    ckpt = os.path.join(exp1, "model.epoch_0.orbax")
+    # the collective write is finalized before exit (AsyncSaver.close in
+    # run_train's finally); both processes see the committed dir
+    assert is_orbax_dir(ckpt), os.listdir(exp1)
+    if pid == 0:
+        assert os.path.exists(os.path.join(exp1, "model.best.npz"))
+
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("ckpt-ready")
+    exp2 = os.path.join(out, "exp2")
+    train_script.main(base + ["--experiment_path", exp2,
+                              "--max_epoch", "1", "--resume", ckpt])
+    assert is_orbax_dir(os.path.join(exp2, "model.epoch_0.orbax"))
+    print("WORKER_OK", pid)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_orbax_epoch(tmp_path):
+    """--ckpt_backend orbax under a 2-process global mesh: the per-epoch
+    save is a COLLECTIVE sharded write (both processes participate,
+    scripts/train.py calls it outside the chief gate), and --resume
+    restores the state with the run's shardings on both processes."""
+    import json
+    import pickle
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    words = ["_PAD", "<unk>", "a", "dog", "cat", "runs", "fast", "the"]
+    rs = np.random.RandomState(0)
+    for split, n_sent in (("train", 32), ("test", 8)):
+        lines, ids = [], []
+        for i in range(n_sent):
+            n = 5
+            sent = " ".join(words[rs.randint(2, len(words))]
+                            for _ in range(n))
+            gold = [(j, n - 1) for j in range(n - 2, 0, -1)] + [(0, n - 1)]
+            lines.append(json.dumps([sent, gold]))
+            ids.append(f"{100 + i}\t0")
+        (corpus / f"flickr_{split}.json").write_text("\n".join(lines))
+        (corpus / f"{split}.txt").write_text("\n".join(ids))
+        if split == "test":
+            anno = {f"{100 + i}_0": [
+                {"phr0": (0, 2, [0.0, 0.0, 10.0, 10.0])}, [1, 1]]
+                for i in range(n_sent)}
+            with open(corpus / f"gt_anno_{split}.pkl", "wb") as f:
+                pickle.dump(anno, f)
+    (corpus / "flickr.dic.json").write_text(
+        json.dumps({w: i for i, w in enumerate(words)}))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_ORBAX_WORKER.format(
+        repo=REPO, corpus=str(corpus), out=str(tmp_path),
+        port=str(port)))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # 1 device per process
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER_OK {i}" in out

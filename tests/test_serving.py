@@ -1,0 +1,127 @@
+"""Sealed serving bundles (cliora_tpu/serving.py + scripts/export_model).
+
+The exported artifact must reproduce the live model's parses exactly:
+trees from the padded, length-masked, symbolic-batch StableHLO artifact
+are compared against Trainer.parse on the exact-length batch.
+"""
+
+import os
+
+import jax
+import numpy as np
+
+from cliora_tpu.analysis.trees import bp_to_tree
+from cliora_tpu.models.config import ModelConfig
+from cliora_tpu.models.params import init_params
+from cliora_tpu.serving import ExportedParser, export_parser, save_bundle
+from cliora_tpu.training.trainer import TrainConfig, Trainer
+
+V = 50
+
+
+def _params(cfg, seed=0):
+    params = init_params(jax.random.PRNGKey(seed), cfg, V)
+    # perturb so split scores are non-trivial (zero-init image encoder)
+    return jax.tree.map(
+        lambda x: x + 0.1 * jax.random.normal(
+            jax.random.PRNGKey(
+                sum(d * 31 ** i for i, d in enumerate(x.shape)) % 2**31),
+            x.shape),
+        params)
+
+
+def test_text_bundle_matches_live_parse(rng, tmp_path):
+    cfg = ModelConfig(size=16, input_size=24)
+    params = _params(cfg)
+    bundle = str(tmp_path / "bundle")
+    save_bundle(bundle, cfg, export_parser(cfg, params, [5, 9]),
+                word2idx={"w%d" % i: i for i in range(V)})
+    served = ExportedParser(bundle)
+    assert served.word2idx is not None
+
+    # ragged lengths straddling both buckets, order-scrambled
+    sents = [list(rng.randint(2, V, n)) for n in (3, 9, 5, 7, 4)]
+    got = served.parse(sents)
+
+    trainer = Trainer(cfg, TrainConfig(k_neg=5), params)
+    for sent, tree in zip(sents, got):
+        res, _ = trainer.parse(
+            {"sentences": np.asarray([sent], np.int32)}, impl="xla")
+        want = bp_to_tree(len(sent), res["cky_bp"][0])
+        assert tree == want, (sent, tree, want)
+
+
+def test_symbolic_batch_any_size(rng, tmp_path):
+    """One artifact serves B=1 and B=7 alike (symbolic batch dim)."""
+    cfg = ModelConfig(size=16, input_size=24)
+    params = _params(cfg)
+    bundle = str(tmp_path / "bundle")
+    save_bundle(bundle, cfg, export_parser(cfg, params, [6]))
+    served = ExportedParser(bundle)
+    one = served.parse([list(rng.randint(2, V, 6))])
+    many = served.parse([list(rng.randint(2, V, 6)) for _ in range(7)])
+    assert len(one) == 1 and len(many) == 7
+
+
+def test_cliora_bundle_grounding(rng, tmp_path):
+    cfg = ModelConfig(size=16, input_size=24, use_obj=True, n_regions=3,
+                      obj_feat_size=8)
+    params = _params(cfg)
+    bundle = str(tmp_path / "bundle")
+    save_bundle(bundle, cfg, export_parser(cfg, params, [6]))
+    served = ExportedParser(bundle)
+
+    sents = [list(rng.randint(2, V, 6)), list(rng.randint(2, V, 4))]
+    feats = rng.randn(2, 3, 8).astype(np.float32)
+    trees, attn = served.parse(sents, obj_feats=feats)
+
+    trainer = Trainer(cfg, TrainConfig(k_neg=5, attn_impl="chunked"),
+                      params)
+    for i, sent in enumerate(sents):
+        res, _ = trainer.parse({
+            "sentences": np.asarray([sent], np.int32),
+            "obj_feats": feats[i:i + 1]})
+        want_tree = bp_to_tree(len(sent), res["cky_bp"][0])
+        assert trees[i] == want_tree
+        want_attn = np.asarray(res["atten_score"])[0].argmax(-1)
+        np.testing.assert_array_equal(attn[i], want_attn)
+
+
+def test_length_over_largest_bucket_raises(rng, tmp_path):
+    cfg = ModelConfig(size=16, input_size=24)
+    bundle = str(tmp_path / "bundle")
+    save_bundle(bundle, cfg, export_parser(cfg, _params(cfg), [5]))
+    served = ExportedParser(bundle)
+    try:
+        served.parse([list(rng.randint(2, V, 9))])
+    except ValueError as e:
+        assert "exceeds" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_export_model_cli(tmp_path):
+    from cliora_tpu.scripts import export_model
+
+    root = str(tmp_path / "corpus")
+    os.makedirs(root)
+    rs = np.random.RandomState(0)
+    words = [f"w{i}" for i in range(30)]
+    with open(os.path.join(root, "val.txt"), "w") as f:
+        for _ in range(8):
+            f.write(" ".join(words[rs.randint(0, 30)]
+                             for _ in range(5)) + "\n")
+
+    exp = str(tmp_path / "exp")
+    bundle = export_model.main([
+        "--data_type", "txt", "--emb", "none",
+        "--train_path", os.path.join(root, "val.txt"),
+        "--validation_path", os.path.join(root, "val.txt"),
+        "--experiment_path", exp,
+        "--hidden_dim", "16", "--export_lengths", "5,8"])
+    served = ExportedParser(bundle)
+    assert served.bucket_lengths == [5, 8]
+    # vocab carries only corpus words; any three ids make a sentence
+    ids = sorted(served.word2idx.values())[:3]
+    trees = served.parse([ids])
+    assert len(trees) == 1

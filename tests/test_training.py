@@ -264,3 +264,78 @@ def test_torch_checkpoint_interop(tmp_path):
     np.testing.assert_array_equal(
         flatten(warm)["diora/inside_score/mat"],
         flatten(params_txt)["diora/inside_score/mat"])
+
+
+def test_accum_steps_matches_averaged_grads(rng):
+    """accum_steps=2 must equal: per-microbatch grads, averaged, ONE
+    optimizer update -- bit-level up to f32 reduction order (the accum
+    path sums then divides; the oracle averages the same two trees)."""
+    import optax
+    from cliora_tpu.training.trainer import compute_losses
+
+    cfg = ModelConfig(size=D, input_size=E, use_obj=True, n_regions=3,
+                      obj_feat_size=16, attn_dropout=0.0)
+    tc = TrainConfig(lr=1e-3, k_neg=5, vg_loss=True, use_contr=True,
+                     emb_trainable=True, accum_steps=2)
+    batch = {
+        "sentences": _synthetic_batch(rng, 8, 6, V),
+        "neg_samples": rng.choice(V, 5, replace=False),
+        "obj_feats": rng.randn(8, 3, 16).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    tr = Trainer.build(cfg, tc, V, seed=0)
+    m_accum = tr.step(batch, rng=key)
+
+    # oracle: same microbatch split, same rng folding, manual average
+    tc0 = TrainConfig(lr=1e-3, k_neg=5, vg_loss=True, use_contr=True,
+                      emb_trainable=True)
+    tr0 = Trainer.build(cfg, tc0, V, seed=0)
+    toks = jnp.asarray(batch["sentences"])
+    neg = jnp.asarray(batch["neg_samples"])
+    obj = jnp.asarray(batch["obj_feats"])
+
+    def grad_of(sl, i):
+        def loss_fn(p):
+            return compute_losses(
+                cfg, tc0, p, toks[sl], neg, obj_feats=obj[sl],
+                rng=jax.random.fold_in(key, i), train=True)
+        return jax.grad(loss_fn, has_aux=True)(tr0.params)
+
+    (g0, m0), (g1, m1) = grad_of(slice(0, 4), 0), grad_of(slice(4, 8), 1)
+    g = jax.tree.map(lambda a, b: (a + b) / 2, g0, g1)
+    g = jax.tree.map(lambda x, m: x if m else jnp.zeros_like(x),
+                     g, tr0.mask)
+    updates, _ = tr0.tx.update(g, tr0.state.opt_state, tr0.params)
+    want = optax.apply_updates(tr0.params, updates)
+
+    np.testing.assert_allclose(
+        float(m_accum["total_loss"]),
+        (float(m0["total_loss"]) + float(m1["total_loss"])) / 2, rtol=1e-6)
+    got, want = flatten(tr.params), flatten(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-7, err_msg=k)
+
+
+def test_accum_steps_cli_smoke(rng, tmp_path):
+    """--accum_steps composes with the CLI epoch loop (+ keep-best)."""
+    import os as _os
+
+    from cliora_tpu.scripts import train as train_script
+
+    root = tmp_path / "corpus"
+    root.mkdir()
+    words = [f"w{i}" for i in range(30)]
+    with open(root / "train.txt", "w") as f:
+        for _ in range(16):
+            f.write(" ".join(words[rng.randint(0, 30)]
+                             for _ in range(6)) + "\n")
+    exp = str(tmp_path / "exp")
+    train_script.main([
+        "--data_type", "txt", "--emb", "none",
+        "--train_path", str(root / "train.txt"),
+        "--validation_path", str(root / "train.txt"),
+        "--experiment_path", exp, "--hidden_dim", "16", "--k_neg", "4",
+        "--batch_size", "8", "--validation_batch_size", "8",
+        "--lr", "1e-3", "--max_epoch", "1", "--accum_steps", "2"])
+    assert _os.path.exists(_os.path.join(exp, "model.epoch_0.npz"))
