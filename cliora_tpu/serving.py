@@ -206,3 +206,24 @@ class ExportedParser:
         if use_obj:
             return out_trees, [attn[j] for j in range(len(sentences))]
         return out_trees
+
+    def parse_text(self, sentences: List[str], *, unk: str = "<unk>",
+                   obj_feats: Optional[np.ndarray] = None):
+        """Whitespace-tokenized sentences -> trees with word leaves.
+
+        Needs the bundle's ``vocab.json``; unknown words map to ``unk``
+        (the readers' UNK convention, data/preprocessing.py).
+        """
+        from cliora_tpu.analysis.trees import replace_leaves
+
+        assert self.word2idx is not None, "bundle has no vocab.json"
+        unk_id = self.word2idx.get(unk, 0)
+        toks = [[self.word2idx.get(w, unk_id) for w in s.split()]
+                for s in sentences]
+        out = self.parse(toks, obj_feats=obj_feats)
+        trees = out[0] if self.meta["use_obj"] else out
+        worded = [replace_leaves(t, s.split())
+                  for t, s in zip(trees, sentences)]
+        if self.meta["use_obj"]:
+            return worded, out[1]
+        return worded

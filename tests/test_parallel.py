@@ -195,3 +195,25 @@ def test_dp_cliora_step_runs(rng):
     batch["obj_feats"] = rng.randn(8, 4, 32).astype(np.float32)
     m = tr.step(batch, rng=jax.random.PRNGKey(0))
     assert np.isfinite(m["total_loss"])
+
+
+def test_step_output_placement_is_stable(rng):
+    """The jitted step's out_shardings are pinned to the init placement:
+    without this GSPMD drifts output shardings after step 1 (replicated
+    leaves observed upgraded to P('mp')), costing a hidden recompile per
+    shape and making checkpoint-restored trajectories diverge from
+    uninterrupted ones at reduction-order level (round-3 finding)."""
+    from cliora_tpu.models.config import ModelConfig as MC
+    from cliora_tpu.training.trainer import TrainConfig as TC, Trainer as T
+
+    for mp in (1, 2):
+        mesh = make_mesh(8, mp=mp)
+        tr = T.build(MC(size=D, input_size=E),
+                     TC(lr=1e-3, k_neg=5, emb_trainable=True), V,
+                     seed=0, mesh=mesh)
+        init_sh = [x.sharding for x in jax.tree.leaves(tr.state)]
+        for step in range(2):
+            tr.step(_batch(rng, 16, 6), rng=jax.random.PRNGKey(step))
+        for s0, leaf in zip(init_sh, jax.tree.leaves(tr.state)):
+            assert s0.is_equivalent_to(leaf.sharding, leaf.ndim), \
+                (mp, s0, leaf.sharding)

@@ -125,3 +125,29 @@ def test_export_model_cli(tmp_path):
     ids = sorted(served.word2idx.values())[:3]
     trees = served.parse([ids])
     assert len(trees) == 1
+
+
+def test_parse_text_word_leaves(rng, tmp_path):
+    cfg = ModelConfig(size=16, input_size=24)
+    params = _params(cfg)
+    bundle = str(tmp_path / "bundle")
+    w2i = {"<unk>": 1, "the": 2, "dog": 3, "runs": 4, "fast": 5}
+    save_bundle(bundle, cfg, export_parser(cfg, params, [6]), word2idx=w2i)
+    served = ExportedParser(bundle)
+    trees = served.parse_text(["the dog runs very fast"])  # 'very' -> unk
+    leaves = []
+
+    def walk(t):
+        if isinstance(t, tuple):
+            for x in t:
+                walk(x)
+        else:
+            leaves.append(t)
+
+    walk(trees[0])
+    assert leaves == ["the", "dog", "runs", "very", "fast"]
+    # same split structure as parsing the ids directly
+    ids = [w2i.get(w, 1) for w in "the dog runs very fast".split()]
+    want = served.parse([ids])[0]
+    from cliora_tpu.analysis.trees import replace_leaves
+    assert trees[0] == replace_leaves(want, "the dog runs very fast".split())
