@@ -79,7 +79,12 @@ def build_trainer(options, embeddings, mesh=None) -> Trainer:
             # sharded collective restore: leaves come back already
             # placed with the trainer's shardings (orbax_ckpt.py)
             from cliora_tpu.training.orbax_ckpt import restore_state
+            from cliora_tpu.training.trainer import _local_value
             trainer.state = restore_state(options.resume, trainer.state)
+            # continue the dropout-key stream from the restored step
+            # (npz checkpoints predate the step counter; they restart it)
+            trainer._host_step = int(
+                np.asarray(_local_value(trainer.state.step)))
         else:
             from cliora_tpu.training.checkpoint import load_opt_state
             params, missing = load_params(options.resume,

@@ -190,6 +190,7 @@ def run_train(options, train_iterator, trainer, validation_iterator):
                 save_experiment(
                     os.path.join(options.experiment_path,
                                  f"experiment.epoch_{epoch}.json"), step)
+                _prune_checkpoints(options, epoch, logger)
 
                 metrics = run_eval(trainer, validation_iterator,
                                    seed=options.seed,
@@ -228,6 +229,37 @@ def run_train(options, train_iterator, trainer, validation_iterator):
             logger.info(f"best model: epoch={best_epoch} "
                         f"corpus_f1={best_f1:.4f} "
                         f"(model.best.npz / model.best.pt)")
+
+
+def _prune_checkpoints(options, epoch, logger):
+    """``--ckpt_keep N``: keep only the newest N per-epoch checkpoints
+    (all backends: npz/pt/opt.pkl triplets and .orbax dirs).
+
+    ``model.best.*`` and the experiment jsons are never pruned.  Under
+    the async orbax backend every epoch <= current-1 is already
+    finalized (AsyncSaver waits for the in-flight write before starting
+    the next), so pruning ``epoch - keep`` and older is race-free.
+    Default 0 keeps every epoch, like the reference
+    (cliora/scripts/train.py:105-107)."""
+    keep = getattr(options, "ckpt_keep", 0) or 0
+    if keep < 1:
+        return
+    import glob
+    import re
+    import shutil
+
+    by_epoch = {}
+    for p in glob.glob(os.path.join(options.experiment_path,
+                                    "model.epoch_*")):
+        m = re.match(r"model\.epoch_(\d+)\.", os.path.basename(p))
+        if m:
+            by_epoch.setdefault(int(m.group(1)), []).append(p)
+    for e in sorted(by_epoch):
+        if e <= epoch - keep:
+            for p in by_epoch[e]:
+                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+            logger.info(
+                f"pruned epoch-{e} checkpoint (--ckpt_keep {keep})")
 
 
 def _stop_profiler(trainer, options, logger) -> bool:

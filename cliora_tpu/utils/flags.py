@@ -178,6 +178,10 @@ def argument_parser() -> argparse.ArgumentParser:
                         "(or a model.epoch_N.orbax directory): restores "
                         "params AND optimizer state "
                         "(the reference only warm-starts weights).")
+    p.add_argument("--ckpt_keep", default=0, type=int,
+                   help="keep only the newest N per-epoch checkpoints "
+                        "(0 = keep all, the reference behavior); "
+                        "model.best.* is never pruned.")
     p.add_argument("--ckpt_backend", default="npz",
                    choices=("npz", "orbax"),
                    help="per-epoch checkpoint format: 'npz' "

@@ -372,3 +372,33 @@ def test_diora_to_cliora_warmstart_cli(corpus, tmp_path, monkeypatch):
         "--obj_feats", "--vg_loss", "--use_contr", "--lr", "1e-5",
         "--load_model_path", ckpt])
     assert os.path.exists(os.path.join(exp_cliora, "model.epoch_0.npz"))
+
+
+def test_ckpt_keep_prunes_old_epochs(tmp_path, rng):
+    """--ckpt_keep 2: only the newest two per-epoch checkpoints survive;
+    model.best.* is never pruned."""
+    from cliora_tpu.scripts import train as train_script
+
+    root = tmp_path / "corpus"
+    root.mkdir()
+    words = [f"w{i}" for i in range(30)]
+    with open(root / "train.txt", "w") as f:
+        for _ in range(16):
+            f.write(" ".join(words[rng.randint(0, 30)]
+                             for _ in range(6)) + "\n")
+    exp = str(tmp_path / "exp_keep")
+    train_script.main([
+        "--data_type", "txt", "--emb", "none",
+        "--train_path", str(root / "train.txt"),
+        "--validation_path", str(root / "train.txt"),
+        "--experiment_path", exp, "--hidden_dim", "16", "--k_neg", "4",
+        "--batch_size", "8", "--validation_batch_size", "8",
+        "--lr", "1e-3", "--max_epoch", "4", "--ckpt_keep", "2"])
+    import glob as g
+    left = sorted(g.glob(os.path.join(exp, "model.epoch_*.npz")))
+    assert [os.path.basename(p) for p in left] == [
+        "model.epoch_2.npz", "model.epoch_3.npz"], left
+    assert not g.glob(os.path.join(exp, "model.epoch_0.*")), "epoch 0 kept"
+    assert os.path.exists(os.path.join(exp, "model.best.npz"))
+    # experiment jsons are never pruned
+    assert os.path.exists(os.path.join(exp, "experiment.epoch_0.json"))
