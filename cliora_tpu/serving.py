@@ -173,6 +173,7 @@ class ExportedParser:
         from cliora_tpu.analysis.trees import bp_to_tree
 
         assert sentences
+        assert all(len(s) >= 1 for s in sentences), "empty sentence"
         use_obj = bool(self.meta["use_obj"])
         if use_obj:
             assert obj_feats is not None, "CLIORA bundle needs obj_feats"
