@@ -55,6 +55,7 @@ def run(options):
     bundle = os.path.join(options.experiment_path, "bundle")
     save_bundle(bundle, trainer.cfg, artifacts,
                 word2idx=dataset["word2idx"],
+                batch=options.export_batch,
                 extra_meta={"source_checkpoint": options.load_model_path})
     for L, blob in artifacts.items():
         logger.info(f"exported bucket L={L}: {len(blob) / 1e6:.2f} MB")

@@ -104,8 +104,14 @@ def export_parser(
 
 def save_bundle(path: str, cfg: ModelConfig, artifacts: Dict[int, bytes],
                 *, word2idx: Optional[dict] = None,
+                batch: Optional[int] = None,
                 extra_meta: Optional[dict] = None) -> None:
-    """Write a serving bundle: per-bucket artifacts + manifest (+vocab)."""
+    """Write a serving bundle: per-bucket artifacts + manifest (+vocab).
+
+    ``batch`` must echo export_parser's ``batch`` argument: a pinned
+    batch dimension is recorded in the manifest so the loader can chunk
+    and pad requests to exactly that size (None = symbolic batch).
+    """
     os.makedirs(path, exist_ok=True)
     files = {}
     for L, blob in artifacts.items():
@@ -118,6 +124,7 @@ def save_bundle(path: str, cfg: ModelConfig, artifacts: Dict[int, bytes],
         "jax_version": jax.__version__,
         "bucket_lengths": sorted(artifacts),
         "files": files,
+        "batch": int(batch) if batch else None,
         "use_obj": cfg.use_obj,
         "n_regions": cfg.n_regions if cfg.use_obj else None,
         "obj_feat_size": cfg.obj_feat_size if cfg.use_obj else None,
@@ -179,6 +186,7 @@ class ExportedParser:
             assert obj_feats is not None, "CLIORA bundle needs obj_feats"
         order = sorted(range(len(sentences)),
                        key=lambda i: self.bucket_for(len(sentences[i])))
+        pin = self.meta.get("batch")  # int = pinned batch dim export
         trees: dict = {}
         attn: dict = {}
         i = 0
@@ -187,22 +195,32 @@ class ExportedParser:
             group = [j for j in order[i:]
                      if self.bucket_for(len(sentences[j])) == L]
             i += len(group)
-            toks = np.zeros((len(group), L), np.int32)
-            lens = np.zeros((len(group),), np.int32)
-            for r, j in enumerate(group):
-                lens[r] = len(sentences[j])
-                toks[r, :lens[r]] = np.asarray(sentences[j], np.int32)
-            args = [toks, lens]
-            if use_obj:
-                args.append(np.asarray(
-                    obj_feats[group], np.float32))
-            res = self._fns[L].call(*args)
-            bp = np.asarray(res["cky_bp"])
-            for r, j in enumerate(group):
-                trees[j] = bp_to_tree(L, bp[r], length=int(lens[r]))
+            # pinned-batch artifacts take exactly `pin` rows: chunk the
+            # group and pad the tail with length-1 dummy rows (their
+            # outputs are discarded)
+            for c0 in range(0, len(group), pin or len(group)):
+                chunk = group[c0:c0 + (pin or len(group))]
+                nrow = pin or len(chunk)
+                toks = np.zeros((nrow, L), np.int32)
+                lens = np.ones((nrow,), np.int32)
+                for r, j in enumerate(chunk):
+                    lens[r] = len(sentences[j])
+                    toks[r, :lens[r]] = np.asarray(sentences[j], np.int32)
+                args = [toks, lens]
                 if use_obj:
-                    a = np.asarray(res["atten_score"])[r, :lens[r]]
-                    attn[j] = a.argmax(-1)
+                    of = np.zeros(
+                        (nrow,) + tuple(np.shape(obj_feats)[1:]),
+                        np.float32)
+                    of[:len(chunk)] = np.asarray(obj_feats[chunk],
+                                                 np.float32)
+                    args.append(of)
+                res = self._fns[L].call(*args)
+                bp = np.asarray(res["cky_bp"])
+                for r, j in enumerate(chunk):
+                    trees[j] = bp_to_tree(L, bp[r], length=int(lens[r]))
+                    if use_obj:
+                        a = np.asarray(res["atten_score"])[r, :lens[r]]
+                        attn[j] = a.argmax(-1)
         out_trees = [trees[j] for j in range(len(sentences))]
         if use_obj:
             return out_trees, [attn[j] for j in range(len(sentences))]

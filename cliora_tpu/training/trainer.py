@@ -375,15 +375,18 @@ class Trainer:
                                    x.get("lens"))
                     return jax.tree.map(jnp.add, acc, (g, m)), None
 
-                # accumulator initialized from the first microbatch;
-                # the scan covers the remaining A-1
+                # zeros-initialized accumulator (shapes via eval_shape):
+                # seeding it from an unrolled first microbatch would
+                # duplicate the whole grad graph in the compiled program
+                # (one unrolled copy + one scan-body copy) -- real
+                # compile-time money at 30-90 s/program over the tunnel
                 first = jax.tree.map(lambda v: v[0], xs)
-                rest = jax.tree.map(lambda v: v[1:], xs)
-                r0 = (jax.random.fold_in(rng, first["i"])
-                      if rng is not None else None)
-                acc0 = grad_of(first["tok"], first.get("obj"), r0,
-                               first.get("lens"))
-                acc, _ = jax.lax.scan(body, acc0, rest)
+                abstract = jax.eval_shape(
+                    grad_of, first["tok"], first.get("obj"), rng,
+                    first.get("lens"))
+                zero = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), abstract)
+                acc, _ = jax.lax.scan(body, zero, xs)
                 grads, metrics = jax.tree.map(lambda s: s / A, acc)
             grads = jax.tree.map(
                 lambda g, m: g if m else jnp.zeros_like(g),

@@ -198,3 +198,21 @@ def oracle_contrastive_loss(inside_s, outside_s, all_atten, margin, alpha):
             vl[i, s] = np.sum(lt) / B + np.sum(li) / B
     margs = np.exp(inside_s + outside_s - inside_s[:, -1:])
     return float(alpha * np.mean((margs * vl)[:, : NC // 2].sum(-1)))
+
+
+def perturb_params(params, scale=0.1):
+    """Deterministic per-leaf parameter perturbation for tests.
+
+    Seeds derive from the leaf shape via a stable arithmetic hash --
+    ``hash(str(shape))`` is salted by PYTHONHASHSEED and made test runs
+    non-reproducible (advisor finding, round 2).  Shared by the bf16 /
+    bucketing / chart-pass / serving suites.
+    """
+    import jax
+
+    return jax.tree.map(
+        lambda x: x + scale * jax.random.normal(
+            jax.random.PRNGKey(
+                sum(d * 31 ** i for i, d in enumerate(x.shape)) % 2**31),
+            x.shape),
+        params)

@@ -29,14 +29,9 @@ def pair():
                         obj_feat_size=F, attn_dropout=0.0)
     cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
     params = init_params(jax.random.PRNGKey(1), cfg32, V)
-    params = jax.tree.map(
-        lambda x: x + 0.05 * jax.random.normal(
-            # stable per-leaf seed (hash() is salted by PYTHONHASHSEED)
-            jax.random.PRNGKey(
-                sum(d * 31 ** i for i, d in enumerate(x.shape)) % 2**31),
-            x.shape),
-        params)
-    return cfg32, cfg16, params
+    from oracle import perturb_params
+
+    return cfg32, cfg16, perturb_params(params, scale=0.05)
 
 
 def test_bf16_charts_close_to_f32(pair, rng):

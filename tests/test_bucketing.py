@@ -51,14 +51,9 @@ def setup():
     params = init_params(jax.random.PRNGKey(3), cfg, V)
     # perturb so inside/outside scores are non-trivial (incl. the
     # zero-init image encoder, reference parity trap)
-    params = jax.tree.map(
-        lambda x: x + 0.1 * jax.random.normal(
-            # stable per-leaf seed (hash() is salted by PYTHONHASHSEED)
-            jax.random.PRNGKey(
-                sum(d * 31 ** i for i, d in enumerate(x.shape)) % 2**31),
-            x.shape),
-        params)
-    return cfg, tc, params
+    from oracle import perturb_params
+
+    return cfg, tc, perturb_params(params)
 
 
 def _losses(cfg, tc, params, sents, obj, neg, lengths=None, rng=None):

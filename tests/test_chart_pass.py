@@ -167,13 +167,9 @@ def test_remat_grads_match(rng, remat_frac):
     tc = TrainConfig(lr=1e-3, k_neg=5, vg_loss=True, use_contr=True,
                      emb_trainable=True)
     params = init_params(jax.random.PRNGKey(0), cfg, V)
-    params = jax.tree.map(
-        lambda x: x + 0.1 * jax.random.normal(
-            # stable per-leaf seed (hash() is salted by PYTHONHASHSEED)
-            jax.random.PRNGKey(
-                sum(d * 31 ** i for i, d in enumerate(x.shape)) % 2**31),
-            x.shape),
-        params)
+    from oracle import perturb_params
+
+    params = perturb_params(params)
     toks = jnp.asarray(rng.randint(2, V, (3, 7)))
     neg = jnp.asarray(rng.choice(V, 5, replace=False))
     obj = jnp.asarray(rng.randn(3, R, F).astype(np.float32))

@@ -20,14 +20,10 @@ V = 50
 
 
 def _params(cfg, seed=0):
-    params = init_params(jax.random.PRNGKey(seed), cfg, V)
+    from oracle import perturb_params
+
     # perturb so split scores are non-trivial (zero-init image encoder)
-    return jax.tree.map(
-        lambda x: x + 0.1 * jax.random.normal(
-            jax.random.PRNGKey(
-                sum(d * 31 ** i for i, d in enumerate(x.shape)) % 2**31),
-            x.shape),
-        params)
+    return perturb_params(init_params(jax.random.PRNGKey(seed), cfg, V))
 
 
 def test_text_bundle_matches_live_parse(rng, tmp_path):
@@ -151,3 +147,23 @@ def test_parse_text_word_leaves(rng, tmp_path):
     want = served.parse([ids])[0]
     from cliora_tpu.analysis.trees import replace_leaves
     assert trees[0] == replace_leaves(want, "the dog runs very fast".split())
+
+
+def test_pinned_batch_bundle(rng, tmp_path):
+    """--export_batch bundles record the pinned B; the loader chunks and
+    pads requests to exactly that size and discards pad outputs."""
+    cfg = ModelConfig(size=16, input_size=24)
+    params = _params(cfg)
+    pinned = str(tmp_path / "pinned")
+    save_bundle(pinned, cfg, export_parser(cfg, params, [6], batch=4),
+                batch=4)
+    served = ExportedParser(pinned)
+    assert served.meta["batch"] == 4
+
+    sents = [list(rng.randint(2, V, n)) for n in (3, 6, 4, 5, 6, 2)]
+    got = served.parse(sents)  # 6 requests -> chunks of 4 + padded 2
+
+    sym = str(tmp_path / "sym")
+    save_bundle(sym, cfg, export_parser(cfg, params, [6]))
+    want = ExportedParser(sym).parse(sents)
+    assert got == want
