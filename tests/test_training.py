@@ -339,3 +339,37 @@ def test_accum_steps_cli_smoke(rng, tmp_path):
         "--batch_size", "8", "--validation_batch_size", "8",
         "--lr", "1e-3", "--max_epoch", "1", "--accum_steps", "2"])
     assert _os.path.exists(_os.path.join(exp, "model.epoch_0.npz"))
+
+
+def test_accum_steps_with_length_mask(rng):
+    """accum_steps composes with masked length-bucketing: the (B,)
+    lengths vector is split per microbatch like the tokens."""
+    from cliora_tpu.training.trainer import compute_losses
+
+    cfg = ModelConfig(size=D, input_size=E)
+    tc = TrainConfig(lr=1e-3, k_neg=5, emb_trainable=True, accum_steps=2)
+    L = 8
+    toks = _synthetic_batch(rng, 8, L, V)
+    lengths = np.asarray([5, 8, 6, 7, 8, 5, 6, 7], np.int32)
+    for r, m in enumerate(lengths):
+        toks[r, m:] = 0
+    batch = {"sentences": toks, "neg_samples": rng.choice(V, 5,
+                                                          replace=False),
+             "lengths": lengths}
+
+    tr = Trainer.build(cfg, tc, V, seed=0)
+    m_accum = tr.step(batch, rng=jax.random.PRNGKey(3))
+
+    tc0 = TrainConfig(lr=1e-3, k_neg=5, emb_trainable=True)
+    tr0 = Trainer.build(cfg, tc0, V, seed=0)
+    neg = jnp.asarray(batch["neg_samples"])
+
+    def loss_of(sl):
+        total, _ = compute_losses(
+            cfg, tc0, tr0.params, jnp.asarray(toks[sl]), neg,
+            rng=None, train=True, lengths=jnp.asarray(lengths[sl]))
+        return float(total)
+
+    want = (loss_of(slice(0, 4)) + loss_of(slice(4, 8))) / 2
+    np.testing.assert_allclose(float(m_accum["total_loss"]), want,
+                               rtol=1e-6)
