@@ -1,0 +1,102 @@
+"""Minimal HTTP parse server over a sealed bundle (stdlib only).
+
+Serves an exported bundle (scripts/export_model.py) with no model code
+on the request path -- the artifact is the model::
+
+    python -m cliora_tpu.scripts.serve --bundle log/<exp>/bundle \
+        [--host 127.0.0.1] [--port 8000]
+
+API (JSON over POST /parse):
+
+    {"sentences": [[7, 3, 9], ...]}        token ids, or
+    {"texts": ["the dog runs", ...]}       whitespace words (needs the
+                                           bundle's vocab.json)
+    -> {"trees": [...]} nested [start, end] span lists (leaves are word
+       positions or words, matching the request form)
+
+GET /healthz returns bundle metadata.  Concurrency note: requests are
+serialized around the parser (XLA dispatch is not reentrant per
+artifact); batch client-side for throughput -- one artifact serves any
+batch size (symbolic batch dim).
+
+The reference has no serving path at all (cliora/scripts/parse.py
+rebuilds the torch net from flags per run); TPU-native surplus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from cliora_tpu.serving import ExportedParser
+
+
+def _tupleize(tree):
+    """Nested tuples -> JSON-serializable nested lists."""
+    if isinstance(tree, tuple):
+        return [_tupleize(t) for t in tree]
+    return tree
+
+
+def make_server(bundle: str, host: str = "127.0.0.1", port: int = 8000):
+    parser = ExportedParser(bundle)
+    if parser.meta["use_obj"]:
+        raise SystemExit(
+            "serve.py handles text bundles; CLIORA bundles need region "
+            "features per request -- use cliora_tpu.serving.ExportedParser "
+            "directly")
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True, "meta": parser.meta})
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/parse":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                with lock:
+                    if "texts" in req:
+                        trees = parser.parse_text(req["texts"])
+                    else:
+                        trees = parser.parse(req["sentences"])
+                self._reply(200, {"trees": [_tupleize(t) for t in trees]})
+            except Exception as e:  # noqa: BLE001 -- surface to client
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(args=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--bundle", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", default=8000, type=int)
+    options = p.parse_args(args)
+    srv = make_server(options.bundle, options.host, options.port)
+    print(f"serving {options.bundle} on "
+          f"http://{options.host}:{srv.server_address[1]}", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

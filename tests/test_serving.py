@@ -167,3 +167,54 @@ def test_pinned_batch_bundle(rng, tmp_path):
     save_bundle(sym, cfg, export_parser(cfg, params, [6]))
     want = ExportedParser(sym).parse(sents)
     assert got == want
+
+
+def test_http_server_roundtrip(rng, tmp_path):
+    """scripts/serve.py: POST /parse over a live (threaded) server
+    returns the same trees as the in-process loader."""
+    import http.client
+    import json as _json
+    import threading
+
+    from cliora_tpu.scripts.serve import make_server
+
+    cfg = ModelConfig(size=16, input_size=24)
+    params = _params(cfg)
+    bundle = str(tmp_path / "bundle")
+    w2i = {"<unk>": 1, "a": 2, "b": 3, "c": 4}
+    save_bundle(bundle, cfg, export_parser(cfg, params, [6]), word2idx=w2i)
+
+    srv = make_server(bundle, port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+
+        conn.request("GET", "/healthz")
+        health = _json.loads(conn.getresponse().read())
+        assert health["ok"] and health["meta"]["bucket_lengths"] == [6]
+
+        sents = [list(map(int, rng.randint(2, V, n))) for n in (4, 6)]
+        body = _json.dumps({"sentences": sents})
+        conn.request("POST", "/parse", body,
+                     {"Content-Type": "application/json"})
+        got = _json.loads(conn.getresponse().read())["trees"]
+
+        def tupleize(t):
+            return tuple(tupleize(x) for x in t) if isinstance(t, list) \
+                else t
+
+        want = ExportedParser(bundle).parse(sents)
+        assert [tupleize(t) for t in got] == want
+
+        conn.request("POST", "/parse",
+                     _json.dumps({"texts": ["a b c"]}),
+                     {"Content-Type": "application/json"})
+        trees = _json.loads(conn.getresponse().read())["trees"]
+        assert trees == [[["a", "b"], "c"]] or trees == [["a", ["b", "c"]]]
+
+        conn.request("POST", "/nope", "{}")
+        assert conn.getresponse().status == 404
+    finally:
+        srv.shutdown()
