@@ -373,3 +373,27 @@ def test_accum_steps_with_length_mask(rng):
     want = (loss_of(slice(0, 4)) + loss_of(slice(4, 8))) / 2
     np.testing.assert_allclose(float(m_accum["total_loss"]), want,
                                rtol=1e-6)
+
+
+def test_multi_step_with_accum(rng):
+    """--steps_per_call composes with --accum_steps (a lax.scan over
+    optimizer steps whose body scans microbatches)."""
+    cfg = ModelConfig(size=D, input_size=E)
+    tc = TrainConfig(lr=1e-3, k_neg=5, emb_trainable=True, accum_steps=2)
+    batches = [{
+        "sentences": _synthetic_batch(rng, 8, 6, V),
+        "neg_samples": rng.choice(V, 5, replace=False),
+    } for _ in range(2)]
+
+    t1 = Trainer.build(cfg, tc, V, seed=0)
+    seq = [dict(t1.step(bm)) for bm in batches]
+    t2 = Trainer.build(cfg, tc, V, seed=0)
+    grouped = t2.steps(batches)
+
+    for a, b in zip(seq, grouped):
+        np.testing.assert_allclose(float(a["total_loss"]),
+                                   float(b["total_loss"]), rtol=1e-5)
+    for pa, pb in zip(jax.tree.leaves(t1.params),
+                      jax.tree.leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-6)
