@@ -160,3 +160,30 @@ def test_cli_orbax_backend_and_resume(tmp_path):
     exp2 = str(tmp_path / "exp_resumed")
     train_script.main(args(exp2) + ["--resume", ckpt])
     assert is_orbax_dir(os.path.join(exp2, "model.epoch_0.orbax"))
+
+
+def test_ckpt_keep_prunes_orbax_dirs(tmp_path):
+    """--ckpt_keep prunes .orbax checkpoint DIRECTORIES too (the
+    shutil.rmtree branch of _prune_checkpoints)."""
+    from cliora_tpu.scripts import train as train_script
+
+    root = tmp_path / "corpus"
+    root.mkdir()
+    rs = np.random.RandomState(0)
+    words = [f"w{i}" for i in range(20)]
+    with open(root / "train.txt", "w") as f:
+        for _ in range(16):
+            f.write(" ".join(words[rs.randint(0, 20)]
+                             for _ in range(5)) + "\n")
+    exp = str(tmp_path / "exp")
+    train_script.main([
+        "--data_type", "txt", "--emb", "none",
+        "--train_path", str(root / "train.txt"),
+        "--validation_path", str(root / "train.txt"),
+        "--experiment_path", exp, "--hidden_dim", "16", "--k_neg", "4",
+        "--batch_size", "8", "--validation_batch_size", "8",
+        "--lr", "1e-3", "--max_epoch", "3",
+        "--ckpt_backend", "orbax", "--ckpt_keep", "1"])
+    assert not os.path.exists(os.path.join(exp, "model.epoch_0.orbax"))
+    assert not os.path.exists(os.path.join(exp, "model.epoch_1.orbax"))
+    assert is_orbax_dir(os.path.join(exp, "model.epoch_2.orbax"))
