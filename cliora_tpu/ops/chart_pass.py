@@ -135,32 +135,22 @@ def inside_pass(
     cp = dp["inside_compose"]
     mat = dp["inside_score"]["mat"]
 
-    import numpy as _np
-
     for level in range(1, n):
         L, N = n - level, level
         idx_l, idx_r = INDEX.inside(n, level)
-        # one gather for both children: halves the gather op count and,
-        # in the backward, the two per-level chart scatter-adds (plus
-        # their add_any cotangent merge) become ONE scatter over the
-        # concatenated index vector
-        idx_lr = _np.concatenate([_np.asarray(idx_l), _np.asarray(idx_r)])
 
         def level_step(inside_h, inside_s, inside_c, obj, lrng,
-                       idx_lr=idx_lr, L=L, N=N):
-            LN = L * N
-            both = jnp.take(inside_h, idx_lr, axis=1)  # (B, 2*L*N, D)
-            lh, rh = both[:, :LN], both[:, LN:]
-            lc = rc = None
-            if use_c:
-                both_c = jnp.take(inside_c, idx_lr, axis=1)
-                lc, rc = both_c[:, :LN], both_c[:, LN:]
+                       idx_l=idx_l, idx_r=idx_r, L=L, N=N):
+            lh = jnp.take(inside_h, idx_l, axis=1)   # (B, L*N, D)
+            rh = jnp.take(inside_h, idx_r, axis=1)
+            lc = jnp.take(inside_c, idx_l, axis=1) if use_c else None
+            rc = jnp.take(inside_c, idx_r, axis=1) if use_c else None
 
             h, c = _compose(cfg, cp, lh, rh, lc, rc)
 
             s_bil = bilinear(mat, lh, rh, compute_dtype=cdt)  # (B, L*N)
-            both_s = jnp.take(inside_s, idx_lr, axis=1)[..., 0]
-            ls, rs = both_s[:, :LN], both_s[:, LN:]
+            ls = jnp.take(inside_s, idx_l, axis=1)[..., 0]
+            rs = jnp.take(inside_s, idx_r, axis=1)[..., 0]
             s = (s_bil + ls + rs).reshape(B, L, N)
             if cfg.aggregate == "hard":
                 # greedy (S-DIORA-style): best split only
@@ -205,9 +195,8 @@ def inside_pass(
 
         if with_cky:
             s_norm = s - jnp.max(s, axis=-1, keepdims=True)
-            both_v = jnp.take(cky_val, idx_lr, axis=1)
-            lv = both_v[:, :L * N].reshape(B, L, N)
-            rv = both_v[:, L * N:].reshape(B, L, N)
+            lv = jnp.take(cky_val, idx_l, axis=1).reshape(B, L, N)
+            rv = jnp.take(cky_val, idx_r, axis=1).reshape(B, L, N)
             ps = lv + rv + s_norm
             cky_val = cky_val.at[:, off:off + L].set(jnp.max(ps, axis=-1))
             cky_bp = cky_bp.at[:, off:off + L].set(
