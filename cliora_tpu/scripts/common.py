@@ -6,6 +6,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from cliora_tpu.data.dataset import (
@@ -73,6 +75,14 @@ def build_trainer(options, embeddings, mesh=None) -> Trainer:
                             mesh=mesh)
 
     if getattr(options, "resume", None):
+        if options.resume == "auto":
+            options.resume = _latest_checkpoint(options.experiment_path)
+            if options.resume is None:
+                # cold start (first run after scheduling): train fresh
+                logger.info("--resume auto: no checkpoint found; "
+                            "starting fresh")
+                logger.info(f"# of params = {param_count(trainer.params)}")
+                return trainer
         logger.info(f"Resuming from: {options.resume}")
         from cliora_tpu.training.orbax_ckpt import is_orbax_dir
         if is_orbax_dir(options.resume):
@@ -112,6 +122,23 @@ def build_trainer(options, embeddings, mesh=None) -> Trainer:
 
     logger.info(f"# of params = {param_count(trainer.params)}")
     return trainer
+
+
+def _latest_checkpoint(experiment_path):
+    """Newest per-epoch checkpoint (.npz or .orbax dir) for
+    ``--resume auto`` -- the preemption-restart pattern: rerun the same
+    command with the same --experiment_path and training continues from
+    the last completed epoch."""
+    import glob
+    import re
+
+    best, best_epoch = None, -1
+    for p in glob.glob(os.path.join(experiment_path, "model.epoch_*")):
+        m = re.match(r"model\.epoch_(\d+)\.(npz|orbax)$",
+                     os.path.basename(p))
+        if m and int(m.group(1)) > best_epoch:
+            best, best_epoch = p, int(m.group(1))
+    return best
 
 
 def get_train_dataset(options):

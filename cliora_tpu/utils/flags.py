@@ -177,7 +177,10 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="Resume from a model.epoch_N.npz checkpoint "
                         "(or a model.epoch_N.orbax directory): restores "
                         "params AND optimizer state "
-                        "(the reference only warm-starts weights).")
+                        "(the reference only warm-starts weights). "
+                        "'auto' picks the newest epoch checkpoint in "
+                        "--experiment_path (preemption restarts; falls "
+                        "back to a fresh start when none exists).")
     p.add_argument("--ckpt_keep", default=0, type=int,
                    help="keep only the newest N per-epoch checkpoints "
                         "(0 = keep all, the reference behavior); "

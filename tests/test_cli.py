@@ -402,3 +402,32 @@ def test_ckpt_keep_prunes_old_epochs(tmp_path, rng):
     assert os.path.exists(os.path.join(exp, "model.best.npz"))
     # experiment jsons are never pruned
     assert os.path.exists(os.path.join(exp, "experiment.epoch_0.json"))
+
+
+def test_resume_auto_cli(tmp_path, rng):
+    """--resume auto: cold start trains fresh; rerunning the SAME
+    command continues from the newest epoch checkpoint."""
+    from cliora_tpu.scripts import train as train_script
+
+    root = tmp_path / "corpus"
+    root.mkdir()
+    words = [f"w{i}" for i in range(30)]
+    with open(root / "train.txt", "w") as f:
+        for _ in range(16):
+            f.write(" ".join(words[rng.randint(0, 30)]
+                             for _ in range(6)) + "\n")
+    exp = str(tmp_path / "exp_auto")
+    args = [
+        "--data_type", "txt", "--emb", "none",
+        "--train_path", str(root / "train.txt"),
+        "--validation_path", str(root / "train.txt"),
+        "--experiment_path", exp, "--hidden_dim", "16", "--k_neg", "4",
+        "--batch_size", "8", "--validation_batch_size", "8",
+        "--lr", "1e-3", "--max_epoch", "2", "--resume", "auto"]
+    train_script.main(args)          # cold start: no checkpoint yet
+    assert os.path.exists(os.path.join(exp, "model.epoch_1.npz"))
+    mtime0 = os.path.getmtime(os.path.join(exp, "model.epoch_0.npz"))
+    train_script.main(args)          # restart: resumes from epoch_1
+    # epoch files rewritten by the resumed run
+    assert os.path.getmtime(
+        os.path.join(exp, "model.epoch_0.npz")) > mtime0
