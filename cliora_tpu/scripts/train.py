@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import random
+import time
 
 import jax
 import jax.profiler  # noqa: F401  (used by --profile_steps)
@@ -147,6 +148,7 @@ def run_train(options, train_iterator, trainer, validation_iterator):
                 trainer, device_prefetch(batches, mesh=trainer.mesh),
                 getattr(options, "steps_per_call", 1),
                 max_steps=remaining)
+            epoch_t0, epoch_sents = time.time(), 0
             while True:
                 if options.profile_steps and step == 0:
                     jax.profiler.start_trace(
@@ -161,6 +163,7 @@ def run_train(options, train_iterator, trainer, validation_iterator):
                     profiling = _stop_profiler(trainer, options, logger)
                 result["length"] = batch_map["length"]
                 result["batch_size"] = batch_map["batch_size"]
+                epoch_sents += int(batch_map["batch_size"])
                 experiment_logger.record(result)
                 if step % options.log_every_batch == 0:
                     experiment_logger.log_batch(
@@ -169,7 +172,12 @@ def run_train(options, train_iterator, trainer, validation_iterator):
                 if options.max_step is not None and step >= options.max_step:
                     break
 
-            experiment_logger.log_epoch(epoch, step)
+            # approximate throughput: the stream is pipelined/lazy, so
+            # the last dispatches may still be in flight -- good enough
+            # for the epoch log line
+            experiment_logger.log_epoch(
+                epoch, step, n_sentences=epoch_sents,
+                wall_s=time.time() - epoch_t0)
 
             base = os.path.join(options.experiment_path,
                                 f"model.epoch_{epoch}")

@@ -94,7 +94,15 @@ class ExperimentLogger:
             f"epoch={epoch} step={step} batch={batch_idx} {stats}")
         self.accumulator.reset()
 
-    def log_epoch(self, epoch, step):
+    def log_epoch(self, epoch, step, n_sentences=None, wall_s=None):
+        """Epoch summary; with counters, also wall-clock throughput
+        (the reference logs no timing at all -- tqdm it/s only,
+        cliora/scripts/train.py:148)."""
+        extra = ""
+        if n_sentences is not None and wall_s:
+            extra = (f" sents={n_sentences} wall={wall_s:.1f}s "
+                     f"sents_per_sec={n_sentences / wall_s:.1f}")
         self.logger.info(f"epoch={epoch} step={step} EPOCH-END "
-                         f"length-hist={sorted(self.length_hist.items())}")
+                         f"length-hist={sorted(self.length_hist.items())}"
+                         f"{extra}")
         self.length_hist = {}
