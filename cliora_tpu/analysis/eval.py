@@ -10,7 +10,7 @@ from typing import Dict
 import numpy as np
 
 from cliora_tpu.analysis.grounding import GroundingMeter, ground_phrases
-from cliora_tpu.analysis.trees import F1Meter, bp_to_tree, tree_to_spans
+from cliora_tpu.analysis.trees import F1Meter, decode_batch
 
 
 def eval_batch_trees(bp: np.ndarray, length: int, padded_length=None):
@@ -19,12 +19,9 @@ def eval_batch_trees(bp: np.ndarray, length: int, padded_length=None):
     (scripts/train.py:187-189).  ``padded_length`` decodes from a padded
     length-bucket chart (layout ``padded_length``, root at ``length``)."""
     n = padded_length or length
-    out = []
-    for row in bp:
-        tree = bp_to_tree(n, row, length=length)
-        spans = set(tree_to_spans(tree)[:-1])
-        out.append((tree, spans))
-    return out
+    lengths = np.full(len(bp), length, dtype=np.int32)
+    return [(tree, set(spans[:-1]))
+            for tree, spans in decode_batch(bp, n, lengths)]
 
 
 def run_eval(trainer, iterator, seed: int = 11,

@@ -39,6 +39,34 @@ def bp_to_tree(n: int, bp_row, length=None):
     return build(m - 1, 0)
 
 
+def decode_batch(bp, n, lengths=None):
+    """(B, ncells) CKY backpointers -> list of (tree, spans) per row.
+
+    Spans are inclusive ``(l, r)`` pairs in post-order (root last), the
+    :func:`tree_to_spans` contract that callers rely on for the
+    reference's root-drop slicing.  Dispatches the whole batch to the C
+    decoder (cliora_tpu/native/_fasttrees.c) when a toolchain is
+    available; the python loop below is the fallback and the parity
+    oracle (tests/test_native.py).
+    """
+    bp = np.ascontiguousarray(bp, dtype=np.int32)
+    from cliora_tpu import native
+
+    mod = native.load()
+    if mod is not None:
+        lens = (None if lengths is None
+                else np.ascontiguousarray(lengths, dtype=np.int32))
+        trees, spans = mod.decode_batch(bp, n, lens)
+        return list(zip(trees, spans))
+    out = []
+    lengths = None if lengths is None else np.asarray(lengths)
+    for b, row in enumerate(bp):
+        m = None if lengths is None else int(lengths[b])
+        tree = bp_to_tree(n, row, length=m)
+        out.append((tree, tree_to_spans(tree)))
+    return out
+
+
 def tree_to_spans(tree):
     """All internal-node spans of a nested-tuple tree, inclusive indices.
 

@@ -177,7 +177,7 @@ class ExportedParser:
               obj_feats: Optional[np.ndarray] = None):
         """Token-id sequences -> span trees (+ per-word region argmax
         for CLIORA bundles when ``obj_feats`` (B, R, F) is given)."""
-        from cliora_tpu.analysis.trees import bp_to_tree
+        from cliora_tpu.analysis.trees import decode_batch
 
         assert sentences
         assert all(len(s) >= 1 for s in sentences), "empty sentence"
@@ -215,9 +215,10 @@ class ExportedParser:
                                                  np.float32)
                     args.append(of)
                 res = self._fns[L].call(*args)
-                bp = np.asarray(res["cky_bp"])
+                bp = np.asarray(res["cky_bp"])[:len(chunk)]
+                decoded = decode_batch(bp, L, lens[:len(chunk)])
                 for r, j in enumerate(chunk):
-                    trees[j] = bp_to_tree(L, bp[r], length=int(lens[r]))
+                    trees[j] = decoded[r][0]
                     if use_obj:
                         a = np.asarray(res["atten_score"])[r, :lens[r]]
                         attn[j] = a.argmax(-1)
