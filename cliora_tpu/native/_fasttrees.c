@@ -23,6 +23,7 @@
 #include <Python.h>
 #include <stdint.h>
 #include <stdlib.h>
+#include <string.h>
 
 typedef struct {
     const int32_t *bp;   /* one row: ncells int32 backpointers */
@@ -112,8 +113,14 @@ decode_batch(PyObject *self, PyObject *args)
     B = bpbuf.len / (ncells * (Py_ssize_t)sizeof(int32_t));
     if (lengths_obj != Py_None) {
         if (PyObject_GetBuffer(lengths_obj, &lenbuf,
-                               PyBUF_C_CONTIGUOUS) < 0)
+                               PyBUF_C_CONTIGUOUS | PyBUF_FORMAT) < 0)
             goto fail;
+        if (lenbuf.format != NULL && strcmp(lenbuf.format, "i") != 0) {
+            PyErr_Format(PyExc_TypeError,
+                         "lengths must be int32, got format '%s'",
+                         lenbuf.format);
+            goto fail;
+        }
         if (lenbuf.len != B * (Py_ssize_t)sizeof(int32_t)) {
             PyErr_Format(PyExc_ValueError,
                          "lengths buffer has %zd bytes, expected %zd "
