@@ -27,12 +27,12 @@ no numbers and this environment has no CUDA -- see BASELINE.md).
 """
 
 import json
-import subprocess
-import sys
 import time
 
 import jax
 import numpy as np
+
+from cliora_tpu.utils.tpu_probe import tpu_reachable
 
 # reference torch implementation, same model/losses (B=32 -- larger
 # batches only slow it down), this host's CPU
@@ -60,26 +60,10 @@ def _step_flops(step_fn, *args) -> float:
         return None
 
 
-def _tpu_reachable(timeout_s: float = 240.0) -> bool:
-    """Probe the tunneled TPU backend in a subprocess with a deadline.
-
-    A down tunnel makes the first device query block forever in the
-    plugin's connect-retry loop (observed 2026-08-18), which would turn
-    this benchmark into an unbounded hang; probing in a killable child
-    process is the only way to bound it.
-    """
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; assert jax.devices()[0].platform == 'tpu'"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except (subprocess.TimeoutExpired, OSError):
-        return False
-
-
 def main():
-    if not _tpu_reachable():
+    # probe in a killable subprocess (utils/tpu_probe.py): a down tunnel
+    # blocks the first in-process device query forever
+    if not tpu_reachable():
         # No fabricated numbers: report the outage and the last number
         # actually measured on the chip (BASELINE.md round 3).
         print(json.dumps({

@@ -46,6 +46,19 @@ def cell_index(n: int, level, pos):
     return ncells(n) - rem * (rem + 1) // 2 + pos
 
 
+def random_backpointers(rs, n: int, B: int) -> np.ndarray:
+    """(B, ncells) random *valid* CKY backpointers: split k in [0, level).
+
+    Level-0 cells get 0 (never read).  Shared by the decode parity tests
+    (tests/test_native.py) and the host-decode benchmark
+    (tools/bench_decode.py) so both stay pinned to this layout.
+    """
+    levels, _ = cell_coords(n)
+    hi = np.maximum(levels.astype(np.int64), 1)
+    return (rs.randint(0, 1 << 30, size=(B, ncells(n))) % hi).astype(
+        np.int32)
+
+
 def cell_coords(n: int):
     """``(levels, positions)`` of every flat cell, each ``(ncells,)`` int32.
 

@@ -21,10 +21,12 @@ import os
 import subprocess
 import sys
 import sysconfig
+import threading
 from typing import Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _CACHE = "unset"  # tri-state: "unset" | None (unavailable) | module
+_LOCK = threading.Lock()  # one build/import per process at a time
 
 
 def _so_path() -> str:
@@ -35,7 +37,7 @@ def _so_path() -> str:
 def _build() -> None:
     src = os.path.join(_HERE, "_fasttrees.c")
     out = _so_path()
-    tmp = out + f".tmp{os.getpid()}"
+    tmp = out + f".tmp{os.getpid()}.{threading.get_ident()}"
     cc = os.environ.get("CC", "cc")
     cmd = [cc, "-O2", "-fPIC", "-shared",
            "-I", sysconfig.get_path("include"), src, "-o", tmp]
@@ -55,17 +57,20 @@ def load() -> Optional[object]:
     for the process.
     """
     global _CACHE
-    if _CACHE != "unset":
+    with _LOCK:
+        if _CACHE != "unset":
+            return _CACHE
+        if os.environ.get("CLIORA_TPU_NO_NATIVE"):
+            _CACHE = None
+            return None
+        try:
+            if not (os.path.exists(_so_path())
+                    and os.path.getmtime(_so_path())
+                    >= os.path.getmtime(
+                        os.path.join(_HERE, "_fasttrees.c"))):
+                _build()
+            _CACHE = importlib.import_module(
+                "cliora_tpu.native._fasttrees")
+        except Exception:
+            _CACHE = None
         return _CACHE
-    if os.environ.get("CLIORA_TPU_NO_NATIVE"):
-        _CACHE = None
-        return None
-    try:
-        if not (os.path.exists(_so_path())
-                and os.path.getmtime(_so_path())
-                >= os.path.getmtime(os.path.join(_HERE, "_fasttrees.c"))):
-            _build()
-        _CACHE = importlib.import_module("cliora_tpu.native._fasttrees")
-    except Exception:
-        _CACHE = None
-    return _CACHE

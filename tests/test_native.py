@@ -10,15 +10,7 @@ import pytest
 
 from cliora_tpu import native
 from cliora_tpu.analysis.trees import bp_to_tree, decode_batch, tree_to_spans
-from cliora_tpu.chart.offsets import cell_coords, ncells
-
-
-def _random_bp(rs, n, B):
-    """Valid random backpointers: split k in [0, level) per cell."""
-    levels, _ = cell_coords(n)
-    hi = np.maximum(levels.astype(np.int64), 1)
-    return (rs.randint(0, 1 << 30, size=(B, ncells(n))) % hi).astype(
-        np.int32)
+from cliora_tpu.chart.offsets import ncells, random_backpointers as _random_bp
 
 
 @pytest.fixture

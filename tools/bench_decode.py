@@ -35,14 +35,10 @@ def main():
 
     from cliora_tpu import native
     from cliora_tpu.analysis.trees import decode_batch
-    from cliora_tpu.chart.offsets import cell_coords, ncells
+    from cliora_tpu.chart.offsets import random_backpointers
 
     n, B = args.length, args.batch
-    rs = np.random.RandomState(0)
-    levels, _ = cell_coords(n)
-    hi = np.maximum(levels.astype(np.int64), 1)
-    bp = (rs.randint(0, 1 << 30, size=(B, ncells(n))) % hi).astype(
-        np.int32)
+    bp = random_backpointers(np.random.RandomState(0), n, B)
 
     def timed():
         t0 = time.time()

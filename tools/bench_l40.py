@@ -17,6 +17,7 @@ Usage:  python tools/bench_l40.py            # all configs
 
 import argparse
 import json
+import os
 import subprocess
 import sys
 
@@ -80,6 +81,14 @@ def main():
     args = ap.parse_args()
     if args.one:
         print(json.dumps(run_one(json.loads(args.one))))
+        return
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from cliora_tpu.utils.tpu_probe import tpu_reachable
+
+    if not tpu_reachable():
+        print(json.dumps({"error": "TPU tunnel unreachable; not running"}))
         return
 
     for spec in CONFIGS:
