@@ -99,6 +99,55 @@ def shard_params(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(put, params, specs)
 
 
+def zero1_opt_state(mesh: Mesh, opt_state, params):
+    """ZeRO-1: shard params-shaped optimizer-state leaves over ``dp``.
+
+    The reference replicates optimizer state per rank (plain DDP +
+    torch Adam, cliora/net/trainer.py:580); so does our default dp
+    path.  With ZeRO-1 each Adam ``mu``/``nu`` leaf instead lives
+    sharded over the data-parallel axis: XLA's SPMD partitioner then
+    reduce-scatters the gradient into the update, updates the local
+    1/dp shard, and all-gathers the fresh params -- the classic ZeRO-1
+    dataflow, derived by GSPMD purely from these output shardings (the
+    train step pins ``out_shardings`` to the state's placement,
+    training/trainer.py).  Optimizer memory per chip drops ~1/dp for
+    the sharded leaves; parameter updates are elementwise, so the math
+    is unchanged (pinned by tests/test_parallel.py zero1 parity).
+
+    Composes with tensor parallelism: a leaf already sharded over
+    ``mp`` gains a ``dp`` component on its first free divisible dim.
+    Leaves with no dp-divisible free dim keep their existing placement.
+    """
+    from cliora_tpu.parallel.mesh import DP_AXIS
+
+    dp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(DP_AXIS, 1)
+    if dp <= 1:
+        return opt_state
+
+    by_path = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        by_path[_path_keys(path)] = leaf.sharding
+
+    def zero_spec(spec: P, shape) -> P:
+        parts = list(spec) + [None] * (len(shape) - len(spec))
+        for dim, size in enumerate(shape):
+            if parts[dim] is None and size % dp == 0:
+                parts[dim] = DP_AXIS
+                return P(*parts)
+        return spec
+
+    def put(path, x):
+        keys = _path_keys(path)
+        for i in range(len(keys)):
+            sh = by_path.get(keys[i:])
+            if sh is not None:
+                spec = zero_spec(sh.spec, x.shape)
+                return jax.device_put(x, NamedSharding(mesh, spec))
+        return x  # non-params leaf (counts, empty states): keep as-is
+
+    return jax.tree_util.tree_map_with_path(put, opt_state)
+
+
 def _path_keys(path):
     return tuple(str(getattr(p, "key", getattr(p, "idx", getattr(
         p, "name", p)))) for p in path)

@@ -62,6 +62,7 @@ def train_config_from_options(options) -> TrainConfig:
         vl_margin=options.vl_margin,
         attn_impl=getattr(options, "attn_impl", "einsum"),
         accum_steps=getattr(options, "accum_steps", 1),
+        zero1=getattr(options, "zero1", False),
     )
 
 

@@ -71,6 +71,11 @@ class TrainConfig:
     # update -- NOT one big-batch step (same caveat as any contrastive
     # gradient accumulation).
     accum_steps: int = 1
+    # ZeRO-1: shard Adam mu/nu over the data-parallel mesh axis
+    # (parallel/sharding.py zero1_opt_state).  Cuts optimizer memory
+    # ~1/dp per chip; update math unchanged (elementwise per shard,
+    # GSPMD inserts the reduce-scatter/all-gather).
+    zero1: bool = False
 
     def __post_init__(self):
         assert self.freeze in ("none", "diora", "except_vis"), self.freeze
@@ -308,6 +313,11 @@ class Trainer:
                 )
             else:
                 self.state = replicate_tree(mesh, self.state)
+            if tc.zero1:
+                from cliora_tpu.parallel.sharding import zero1_opt_state
+                self.state = self.state._replace(
+                    opt_state=zero1_opt_state(
+                        mesh, self.state.opt_state, self.state.params))
         # host-side step counter for dropout keys: reading state.step would
         # force a device sync every step.  'rbg' lowers to the TPU hardware
         # RNG (XLA RngBitGenerator): threefry2x32 cost ~4 ms/step just

@@ -152,6 +152,11 @@ def argument_parser() -> argparse.ArgumentParser:
                         "accum_steps -- the memory lever orthogonal to "
                         "--remat.  Batch-coupled losses (contrastive/VG "
                         "negatives) scope to the microbatch.")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard Adam mu/nu over the data-"
+                        "parallel mesh axis (~1/dp optimizer memory "
+                        "per chip; update math unchanged -- GSPMD "
+                        "inserts the reduce-scatter/all-gather).")
     p.add_argument("--remat_frac", default=0.0, type=float,
                    help="with --remat, only checkpoint levels whose "
                         "intermediates are >= this fraction of the "
