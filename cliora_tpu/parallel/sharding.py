@@ -141,8 +141,14 @@ def zero1_opt_state(mesh: Mesh, opt_state, params):
         for i in range(len(keys)):
             sh = by_path.get(keys[i:])
             if sh is not None:
-                spec = zero_spec(sh.spec, x.shape)
-                return jax.device_put(x, NamedSharding(mesh, spec))
+                target = NamedSharding(mesh, zero_spec(sh.spec, x.shape))
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    # multi-process global array (replicate_tree already
+                    # ran): eager device_put cannot reshard it -- a
+                    # jitted identity is an SPMD program, so GSPMD slices
+                    # the replicated value down to the dp shard locally
+                    return jax.jit(lambda a: a, out_shardings=target)(x)
+                return jax.device_put(x, target)
         return x  # non-params leaf (counts, empty states): keep as-is
 
     return jax.tree_util.tree_map_with_path(put, opt_state)

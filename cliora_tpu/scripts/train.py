@@ -186,15 +186,19 @@ def run_train(options, train_iterator, trainer, validation_iterator):
                 # a background thread -- the chief's eval below overlaps
                 # the checkpoint I/O (training/orbax_ckpt.py)
                 orbax_saver.save(base + ".orbax", trainer.state)
+            # materialized on ALL processes: with --zero1 the opt state
+            # is dp-sharded and _local_value's allgather is a collective
+            # (a chief-only call would deadlock the other processes)
             local_params = trainer.local_params()
+            local_opt = (trainer.local_opt_state()
+                         if orbax_saver is None else None)
             if is_chief:
                 if orbax_saver is None:
                     save_params(base + ".npz", local_params,
                                 save_embeddings=save_emb)
                     export_torch_checkpoint(base + ".pt", local_params,
                                             save_embeddings=save_emb)
-                    save_opt_state(base + ".opt.pkl",
-                                   trainer.local_opt_state())
+                    save_opt_state(base + ".opt.pkl", local_opt)
                 save_experiment(
                     os.path.join(options.experiment_path,
                                  f"experiment.epoch_{epoch}.json"), step)

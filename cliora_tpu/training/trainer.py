@@ -256,7 +256,14 @@ def _local_value(x):
         if shard.data.shape == x.shape:  # replicated leaf
             return shard.data
         from jax.experimental import multihost_utils
-        return jnp.asarray(multihost_utils.process_allgather(x))
+        # tiled=True: concatenate the per-process shards back into the
+        # global-shaped value (required for non-fully-addressable
+        # inputs).  NOTE this is a COLLECTIVE -- every process must
+        # reach it, so callers materialize sharded state on all
+        # processes, never inside a chief-only branch (scripts/train.py
+        # hoists local_opt_state() above the is_chief block).
+        return jnp.asarray(multihost_utils.process_allgather(
+            x, tiled=True))
     return x
 
 
@@ -536,6 +543,12 @@ class Trainer:
         else:
             params = replicate_tree(self.mesh, params)
             opt_state = replicate_tree(self.mesh, opt_state)
+        if self.tc.zero1:
+            # restore the ZeRO-1 placement too -- otherwise the first
+            # resumed step sees differently-placed inputs (one hidden
+            # recompile) before the pinned out_shardings re-shard them
+            from cliora_tpu.parallel.sharding import zero1_opt_state
+            opt_state = zero1_opt_state(self.mesh, opt_state, params)
         self.state = TrainState(params, opt_state, self.state.step)
 
     def local_params(self):

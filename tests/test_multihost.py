@@ -119,6 +119,10 @@ _EPOCH_WORKER = textwrap.dedent("""
         "--validation_batch_size", "4", "--lr", "1e-3", "--seed", "3",
         "--master_addr", "127.0.0.1", "--master_port", {port!r},
         "--world_size", "2", "--local_rank", str(pid),
+        # ZeRO-1 under a true multi-process mesh: dp-sharded Adam
+        # state through train -> eval -> checkpoint (allgather
+        # materialization) -> resume (zero1 re-placement)
+        "--zero1",
     ]
     exp1 = os.path.join(out, "exp1")
     train_script.main(base + ["--experiment_path", exp1,

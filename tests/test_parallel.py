@@ -277,3 +277,30 @@ def test_zero1_composes_with_mp(rng):
     assert np.isfinite(m["total_loss"])
     res, _ = tr.parse(batch)
     assert res["cky_bp"].shape[0] == 16
+
+
+def test_zero1_install_state_preserves_placement(rng):
+    """Resume path: install_state must re-apply the ZeRO-1 opt-state
+    placement (else the first resumed step recompiles against
+    differently-placed inputs)."""
+    cfg = ModelConfig(size=D, input_size=E)
+    tc = TrainConfig(lr=1e-3, k_neg=5, emb_trainable=True, zero1=True)
+    mesh = make_mesh(8)
+    tr = Trainer.build(cfg, tc, V, seed=0, mesh=mesh)
+    batch = _batch(rng, 16, 6)
+    tr.step(batch, rng=jax.random.PRNGKey(0))
+
+    before = [x.sharding for x in jax.tree.leaves(tr.state.opt_state)
+              if hasattr(x, "sharding")]
+    host_params = jax.tree.map(np.asarray, tr.state.params)
+    host_opt = jax.tree.map(np.asarray, tr.state.opt_state)
+    tr.install_state(host_params, host_opt)
+    leaves = [x for x in jax.tree.leaves(tr.state.opt_state)
+              if hasattr(x, "sharding")]
+    assert len(before) == len(leaves)
+    for sh0, leaf in zip(before, leaves):
+        assert sh0.is_equivalent_to(leaf.sharding, leaf.ndim), \
+            (sh0, leaf.sharding)
+    assert any(not x.sharding.is_fully_replicated for x in leaves)
+    m = tr.step(batch, rng=jax.random.PRNGKey(1))
+    assert np.isfinite(m["total_loss"])
