@@ -14,10 +14,12 @@ API (JSON over POST /parse):
     -> {"trees": [...]} nested [start, end] span lists (leaves are word
        positions or words, matching the request form)
 
-GET /healthz returns bundle metadata.  Concurrency note: requests are
-serialized around the parser (XLA dispatch is not reentrant per
-artifact); batch client-side for throughput -- one artifact serves any
-batch size (symbolic batch dim).
+GET /healthz returns bundle metadata.  Concurrency: concurrent /parse
+requests are *micro-batched* -- a dispatcher thread coalesces everything
+queued within ``--max_wait_ms`` into ONE device call
+(serving.MicroBatcher), so N concurrent small requests cost ~1 artifact
+dispatch instead of N.  One artifact serves any batch size (symbolic
+batch dim).
 
 The reference has no serving path at all (cliora/scripts/parse.py
 rebuilds the torch net from flags per run); TPU-native surplus.
@@ -27,10 +29,9 @@ from __future__ import annotations
 
 import argparse
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from cliora_tpu.serving import ExportedParser
+from cliora_tpu.serving import ExportedParser, MicroBatcher
 
 
 def _tupleize(tree):
@@ -40,14 +41,31 @@ def _tupleize(tree):
     return tree
 
 
-def make_server(bundle: str, host: str = "127.0.0.1", port: int = 8000):
+def make_server(bundle: str, host: str = "127.0.0.1", port: int = 8000,
+                max_batch: int = 64, max_wait_ms: float = 5.0):
     parser = ExportedParser(bundle)
     if parser.meta["use_obj"]:
         raise SystemExit(
             "serve.py handles text bundles; CLIORA bundles need region "
             "features per request -- use cliora_tpu.serving.ExportedParser "
             "directly")
-    lock = threading.Lock()
+    batcher = MicroBatcher(parser, max_batch=max_batch,
+                           max_wait_ms=max_wait_ms)
+
+    def parse_request(req):
+        """texts/sentences -> trees; tokenization happens on the handler
+        thread, only the device call is funneled through the batcher."""
+        if "texts" in req:
+            assert parser.word2idx is not None, "bundle has no vocab.json"
+            unk = parser.word2idx.get("<unk>", 0)
+            words = [t.split() for t in req["texts"]]
+            toks = [[parser.word2idx.get(w, unk) for w in ws]
+                    for ws in words]
+            trees = batcher.submit(toks)
+            from cliora_tpu.analysis.trees import replace_leaves
+            return [replace_leaves(t, ws)
+                    for t, ws in zip(trees, words)]
+        return batcher.submit(req["sentences"])
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, obj) -> None:
@@ -74,11 +92,7 @@ def make_server(bundle: str, host: str = "127.0.0.1", port: int = 8000):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
-                with lock:
-                    if "texts" in req:
-                        trees = parser.parse_text(req["texts"])
-                    else:
-                        trees = parser.parse(req["sentences"])
+                trees = parse_request(req)
                 self._reply(200, {"trees": [_tupleize(t) for t in trees]})
             except Exception as e:  # noqa: BLE001 -- surface to client
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
@@ -91,8 +105,16 @@ def main(args=None):
     p.add_argument("--bundle", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", default=8000, type=int)
+    p.add_argument("--max_batch", default=64, type=int,
+                   help="max concurrent requests coalesced per device "
+                        "call")
+    p.add_argument("--max_wait_ms", default=5.0, type=float,
+                   help="micro-batching window: extra latency the first "
+                        "request in a batch may pay to collect peers")
     options = p.parse_args(args)
-    srv = make_server(options.bundle, options.host, options.port)
+    srv = make_server(options.bundle, options.host, options.port,
+                      max_batch=options.max_batch,
+                      max_wait_ms=options.max_wait_ms)
     print(f"serving {options.bundle} on "
           f"http://{options.host}:{srv.server_address[1]}", flush=True)
     srv.serve_forever()

@@ -247,3 +247,85 @@ class ExportedParser:
         if self.meta["use_obj"]:
             return worded, out[1]
         return worded
+
+
+class MicroBatcher:
+    """Coalesce concurrent parse requests into one device call.
+
+    HTTP handlers call :meth:`submit` from their own threads; a single
+    dispatcher thread drains the queue, concatenates all pending
+    sentence lists, runs ONE ``parser.parse`` over the union, and
+    scatters the trees back.  Each artifact call carries fixed dispatch
+    overhead and pads to a length bucket, so N concurrent 1-sentence
+    requests cost ~1 call instead of N (the classic inference-server
+    micro-batching pattern; the reference has no serving path at all).
+
+    ``max_wait_ms`` bounds the added latency for the request that opens
+    a batch; ``max_batch`` bounds the number of *requests* coalesced
+    (sentences within a request are already batched by the caller).
+    """
+
+    def __init__(self, parser, max_batch: int = 64,
+                 max_wait_ms: float = 5.0):
+        import queue
+        import threading
+
+        self._parser = parser
+        self._q: "queue.Queue" = queue.Queue()
+        self._max_batch = max(1, int(max_batch))
+        self._wait_s = max(0.0, float(max_wait_ms)) / 1e3
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    class _Req:
+        __slots__ = ("sentences", "event", "result", "error")
+
+        def __init__(self, sentences):
+            import threading
+
+            self.sentences = sentences
+            self.event = threading.Event()
+            self.result = None
+            self.error = None
+
+    def submit(self, sentences):
+        """Token-id sequences -> trees (blocks until the batch runs)."""
+        req = self._Req(sentences)
+        self._q.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _loop(self):
+        import queue
+        import time
+
+        while True:
+            batch = [self._q.get()]
+            deadline = time.time() + self._wait_s
+            while len(batch) < self._max_batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    # still drain anything already queued (free win)
+                    try:
+                        batch.append(self._q.get_nowait())
+                        continue
+                    except queue.Empty:
+                        break
+                try:
+                    batch.append(self._q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            try:
+                flat = [s for r in batch for s in r.sentences]
+                trees = self._parser.parse(flat)
+                i = 0
+                for r in batch:
+                    r.result = trees[i:i + len(r.sentences)]
+                    i += len(r.sentences)
+            except Exception as e:  # noqa: BLE001 -- surface per request
+                for r in batch:
+                    r.error = e
+            for r in batch:
+                r.event.set()

@@ -218,3 +218,106 @@ def test_http_server_roundtrip(rng, tmp_path):
         assert conn.getresponse().status == 404
     finally:
         srv.shutdown()
+
+
+def test_microbatcher_coalesces_and_scatters():
+    """Concurrent submits within the window run as ONE parser call, and
+    each caller gets exactly its own trees back."""
+    import threading
+
+    from cliora_tpu.serving import MicroBatcher
+
+    calls = []
+
+    class FakeParser:
+        def parse(self, sentences):
+            calls.append(len(sentences))
+            return [("tree", tuple(s)) for s in sentences]
+
+    mb = MicroBatcher(FakeParser(), max_batch=16, max_wait_ms=200.0)
+    results = {}
+
+    def worker(i):
+        sents = [[i, 0], [i, 1]] if i % 2 else [[i, 9]]
+        results[i] = (sents, mb.submit(sents))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert len(results) == 6
+    for i, (sents, trees) in results.items():
+        assert trees == [("tree", tuple(s)) for s in sents], i
+    # 6 requests, 9 sentences total -- far fewer parser calls than
+    # requests (>=1; the first may dispatch alone before the rest queue)
+    assert sum(calls) == 9
+    assert len(calls) <= 3, calls
+
+
+def test_microbatcher_error_propagates():
+    from cliora_tpu.serving import MicroBatcher
+
+    class Boom:
+        def parse(self, sentences):
+            raise ValueError("nope")
+
+    mb = MicroBatcher(Boom(), max_wait_ms=0.0)
+    import pytest
+
+    with pytest.raises(ValueError, match="nope"):
+        mb.submit([[1, 2]])
+
+
+def test_http_server_concurrent_requests(rng, tmp_path):
+    """N parallel POSTs through the micro-batched server all come back
+    correct (and identical to the in-process loader)."""
+    import http.client
+    import json as _json
+    import threading
+
+    from cliora_tpu.scripts.serve import make_server
+
+    cfg = ModelConfig(size=16, input_size=24)
+    params = _params(cfg)
+    bundle = str(tmp_path / "bundle")
+    save_bundle(bundle, cfg, export_parser(cfg, params, [6]),
+                word2idx={"<unk>": 1, "a": 2, "b": 3, "c": 4})
+
+    srv = make_server(bundle, port=0, max_wait_ms=50.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        sents = [[list(map(int, rng.randint(2, V, n)))] for n in
+                 (3, 4, 5, 6, 4, 3)]
+        want = {i: ExportedParser(bundle).parse(s)
+                for i, s in enumerate(sents)}
+        got = {}
+
+        def post(i):
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=60)
+            conn.request("POST", "/parse",
+                         _json.dumps({"sentences": sents[i]}),
+                         {"Content-Type": "application/json"})
+            got[i] = _json.loads(conn.getresponse().read())["trees"]
+            conn.close()
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(sents))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+
+        def tupleize(t):
+            return tuple(tupleize(x) for x in t) if isinstance(t, list) \
+                else t
+
+        assert len(got) == len(sents)
+        for i in got:
+            assert [tupleize(t) for t in got[i]] == want[i], i
+    finally:
+        srv.shutdown()
