@@ -32,12 +32,22 @@ with multi-*process* data parallelism is rejected at mesh construction
 
 from __future__ import annotations
 
+import functools
 import warnings
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 MP_AXIS = "mp"
+
+
+@functools.lru_cache(maxsize=None)
+def _reshard_fn(sharding: NamedSharding):
+    """One cached jitted identity per target sharding: a fresh
+    ``jax.jit(lambda ...)`` per leaf would defeat jit's function-identity
+    cache and compile a separate tiny SPMD program per optimizer leaf
+    (seconds each over a remote-compile tunnel)."""
+    return jax.jit(lambda a: a, out_shardings=sharding)
 
 
 def _spec_for(keys) -> P:
@@ -147,7 +157,7 @@ def zero1_opt_state(mesh: Mesh, opt_state, params):
                     # ran): eager device_put cannot reshard it -- a
                     # jitted identity is an SPMD program, so GSPMD slices
                     # the replicated value down to the dp shard locally
-                    return jax.jit(lambda a: a, out_shardings=target)(x)
+                    return _reshard_fn(target)(x)
                 return jax.device_put(x, target)
         return x  # non-params leaf (counts, empty states): keep as-is
 

@@ -56,11 +56,7 @@ def make_server(bundle: str, host: str = "127.0.0.1", port: int = 8000,
         """texts/sentences -> trees; tokenization happens on the handler
         thread, only the device call is funneled through the batcher."""
         if "texts" in req:
-            assert parser.word2idx is not None, "bundle has no vocab.json"
-            unk = parser.word2idx.get("<unk>", 0)
-            words = [t.split() for t in req["texts"]]
-            toks = [[parser.word2idx.get(w, unk) for w in ws]
-                    for ws in words]
+            toks, words = parser.tokenize(req["texts"])
             trees = batcher.submit(toks)
             from cliora_tpu.analysis.trees import replace_leaves
             return [replace_leaves(t, ws)
@@ -97,7 +93,9 @@ def make_server(bundle: str, host: str = "127.0.0.1", port: int = 8000,
             except Exception as e:  # noqa: BLE001 -- surface to client
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.batcher = batcher  # callers stop the dispatcher via .close()
+    return srv
 
 
 def main(args=None):

@@ -227,6 +227,22 @@ class ExportedParser:
             return out_trees, [attn[j] for j in range(len(sentences))]
         return out_trees
 
+    def tokenize(self, sentences: List[str], *, unk: str = "<unk>"):
+        """Whitespace sentences -> (token-id lists, word lists).
+
+        One tokenization convention for every serving surface
+        (parse_text and the HTTP server's "texts" path): unknown words
+        map to the bundle vocab's ``unk`` entry (the readers' UNK
+        convention, data/preprocessing.py).
+        """
+        if self.word2idx is None:
+            raise ValueError("bundle has no vocab.json; send token ids")
+        unk_id = self.word2idx.get(unk, 0)
+        words = [s.split() for s in sentences]
+        toks = [[self.word2idx.get(w, unk_id) for w in ws]
+                for ws in words]
+        return toks, words
+
     def parse_text(self, sentences: List[str], *, unk: str = "<unk>",
                    obj_feats: Optional[np.ndarray] = None):
         """Whitespace-tokenized sentences -> trees with word leaves.
@@ -236,10 +252,7 @@ class ExportedParser:
         """
         from cliora_tpu.analysis.trees import replace_leaves
 
-        assert self.word2idx is not None, "bundle has no vocab.json"
-        unk_id = self.word2idx.get(unk, 0)
-        toks = [[self.word2idx.get(w, unk_id) for w in s.split()]
-                for s in sentences]
+        toks, _ = self.tokenize(sentences, unk=unk)
         out = self.parse(toks, obj_feats=obj_feats)
         trees = out[0] if self.meta["use_obj"] else out
         worded = [replace_leaves(t, s.split())
@@ -297,26 +310,34 @@ class MicroBatcher:
             raise req.error
         return req.result
 
+    def close(self):
+        """Stop the dispatcher thread (in-flight requests complete)."""
+        self._q.put(None)
+        self._thread.join(timeout=60)
+
     def _loop(self):
         import queue
         import time
 
         while True:
-            batch = [self._q.get()]
-            deadline = time.time() + self._wait_s
+            first = self._q.get()
+            if first is None:  # close() sentinel
+                return
+            batch = [first]
+            # monotonic: a wall-clock step must not stretch the window
+            deadline = time.monotonic() + self._wait_s
+            stop = False
             while len(batch) < self._max_batch:
-                timeout = deadline - time.time()
-                if timeout <= 0:
-                    # still drain anything already queued (free win)
-                    try:
-                        batch.append(self._q.get_nowait())
-                        continue
-                    except queue.Empty:
-                        break
+                timeout = deadline - time.monotonic()
                 try:
-                    batch.append(self._q.get(timeout=timeout))
+                    r = (self._q.get_nowait() if timeout <= 0
+                         else self._q.get(timeout=timeout))
                 except queue.Empty:
                     break
+                if r is None:
+                    stop = True
+                    break
+                batch.append(r)
             try:
                 flat = [s for r in batch for s in r.sentences]
                 trees = self._parser.parse(flat)
@@ -324,8 +345,16 @@ class MicroBatcher:
                 for r in batch:
                     r.result = trees[i:i + len(r.sentences)]
                     i += len(r.sentences)
-            except Exception as e:  # noqa: BLE001 -- surface per request
+            except Exception:
+                # don't poison the whole batch with one bad request
+                # (over-length sentence, empty list): retry each request
+                # alone so only the offender fails
                 for r in batch:
-                    r.error = e
+                    try:
+                        r.result = self._parser.parse(r.sentences)
+                    except Exception as e:  # noqa: BLE001 -- per request
+                        r.error = e
             for r in batch:
                 r.event.set()
+            if stop:
+                return

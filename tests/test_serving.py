@@ -218,6 +218,7 @@ def test_http_server_roundtrip(rng, tmp_path):
         assert conn.getresponse().status == 404
     finally:
         srv.shutdown()
+        srv.batcher.close()
 
 
 def test_microbatcher_coalesces_and_scatters():
@@ -321,3 +322,42 @@ def test_http_server_concurrent_requests(rng, tmp_path):
             assert [tupleize(t) for t in got[i]] == want[i], i
     finally:
         srv.shutdown()
+        srv.batcher.close()
+
+
+def test_microbatcher_isolates_bad_requests():
+    """One malformed request in a coalesced batch must not fail its
+    batch-mates: the batcher retries per request on batch failure."""
+    import threading
+
+    from cliora_tpu.serving import MicroBatcher
+
+    class Picky:
+        def parse(self, sentences):
+            if any(len(s) == 0 for s in sentences):
+                raise ValueError("empty sentence")
+            return [tuple(s) for s in sentences]
+
+    mb = MicroBatcher(Picky(), max_batch=8, max_wait_ms=200.0)
+    results, errors = {}, {}
+
+    def worker(i, sents):
+        try:
+            results[i] = mb.submit(sents)
+        except Exception as e:  # noqa: BLE001
+            errors[i] = e
+
+    threads = [
+        threading.Thread(target=worker, args=(0, [[1, 2]])),
+        threading.Thread(target=worker, args=(1, [[]])),   # bad
+        threading.Thread(target=worker, args=(2, [[3, 4], [5]])),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert results[0] == [(1, 2)]
+    assert results[2] == [(3, 4), (5,)]
+    assert isinstance(errors[1], ValueError)
+    mb.close()
+    assert not mb._thread.is_alive()

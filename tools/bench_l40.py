@@ -21,6 +21,11 @@ import os
 import subprocess
 import sys
 
+# script-mode sys.path[0] is tools/: make the package importable in BOTH
+# parent and --one child processes (cliora_tpu is not pip-installed)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 B, L, D, E, V, K, R, F = 128, 40, 400, 1024, 10000, 100, 36, 2048
 WARMUP, STEPS = 3, 10
 
@@ -83,8 +88,6 @@ def main():
         print(json.dumps(run_one(json.loads(args.one))))
         return
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from cliora_tpu.utils.tpu_probe import tpu_reachable
 
     if not tpu_reachable():
