@@ -25,15 +25,80 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def _bench_concurrent(served, sents, args):
+    """N threads x M single-sentence requests: micro-batched dispatch
+    (serving.MicroBatcher) vs a lock-serialized call per request (the
+    pre-batching server behavior)."""
+    import threading
+    import time
+
+    from cliora_tpu.serving import MicroBatcher
+
+    N, M = args.concurrency, max(1, args.requests // args.concurrency)
+    reqs = [[sents[i % len(sents)]] for i in range(N)]
+
+    def run(fn):
+        barrier = threading.Barrier(N)
+
+        def stream(i):
+            barrier.wait()
+            for _ in range(M):
+                fn(reqs[i])
+
+        threads = [threading.Thread(target=stream, args=(i,))
+                   for i in range(N)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return time.time() - t0
+
+    lock = threading.Lock()
+
+    def serialized(sentences):
+        with lock:
+            return served.parse(sentences)
+
+    mb = MicroBatcher(served, max_batch=N, max_wait_ms=5.0)
+    mb.submit(reqs[0])  # warm
+    total = N * M
+    for name, fn in (("serialized", serialized), ("microbatch", mb.submit)):
+        dt = run(fn)
+        print(f"{name:>10}: {total / dt:8.1f} req/s at concurrency "
+              f"{N} ({dt / total * 1e3:.2f} ms/req)", flush=True)
+    mb.close()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", default=128, type=int)
     ap.add_argument("--length", default=20, type=int)
     ap.add_argument("--hidden", default=400, type=int)
     ap.add_argument("--steps", default=20, type=int)
+    ap.add_argument("--concurrency", default=1, type=int,
+                    help="also bench N concurrent single-sentence "
+                         "request streams through serving.MicroBatcher "
+                         "vs lock-serialized per-request dispatch")
+    ap.add_argument("--requests", default=200, type=int,
+                    help="requests per concurrent stream benchmark")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu' for a host-"
+                         "side smoke); default probes the TPU tunnel "
+                         "first so a down tunnel cannot hang the tool")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    else:
+        from cliora_tpu.utils.tpu_probe import tpu_reachable
+
+        if not tpu_reachable():
+            print("TPU tunnel unreachable; pass --platform cpu for a "
+                  "host-side run")
+            return
 
     from cliora_tpu.models.config import ModelConfig
     from cliora_tpu.models.params import init_params
@@ -65,6 +130,9 @@ def main():
         dt = (time.time() - t0) / args.steps
         print(f"bundle : {dt * 1e3:7.1f} ms/batch  "
               f"{B / dt:8.0f} sents/s", flush=True)
+
+        if args.concurrency > 1:
+            _bench_concurrent(served, sents, args)
 
     trainer = Trainer(cfg, TrainConfig(k_neg=5), params)
     batch = {"sentences": np.asarray(sents, np.int32)}
