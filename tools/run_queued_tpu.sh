@@ -50,7 +50,7 @@ fi
 #    (4 configs x up to 1200 s each in child processes + probe)
 run bench_l40 5700 python tools/bench_l40.py
 
-# D. serving path with the native host decoder
-run bench_serving 2400 python tools/bench_serving.py
+# D. serving path with the native host decoder + request micro-batching
+run bench_serving 2400 python tools/bench_serving.py --concurrency 16
 
 echo "ALL DONE ($(date))" | tee -a "$OUT/summary.log"
