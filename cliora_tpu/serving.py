@@ -138,6 +138,11 @@ def save_bundle(path: str, cfg: ModelConfig, artifacts: Dict[int, bytes],
             json.dump(word2idx, f)
 
 
+def _pow2_rows(n: int) -> int:
+    """Smallest power of two >= n (batch-shape quantization)."""
+    return 1 << max(0, n - 1).bit_length()
+
+
 class ExportedParser:
     """Serve parses from a sealed bundle -- no model code, no params.
 
@@ -200,7 +205,17 @@ class ExportedParser:
             # outputs are discarded)
             for c0 in range(0, len(group), pin or len(group)):
                 chunk = group[c0:c0 + (pin or len(group))]
-                nrow = pin or len(chunk)
+                # symbolic-batch artifacts re-specialize (compile) per
+                # DISTINCT concrete batch size, which over a remote
+                # compile path costs seconds -- quantize the padded row
+                # count to the next power of two so at most log2(B)
+                # shapes ever compile.  Dummy rows are <2x and the call
+                # is dispatch-dominated at the small sizes where they
+                # appear.  Measured: without this, micro-batched serving
+                # (variable coalesced sizes) was 4.7x SLOWER than
+                # lock-serialized B=1 dispatch (bench_serving, TPU
+                # 2026-08-18); with it, 6.7x faster on the CPU drive.
+                nrow = pin or _pow2_rows(len(chunk))
                 toks = np.zeros((nrow, L), np.int32)
                 lens = np.ones((nrow,), np.int32)
                 for r, j in enumerate(chunk):

@@ -169,6 +169,46 @@ def test_pinned_batch_bundle(rng, tmp_path):
     assert got == want
 
 
+def test_symbolic_batch_shape_quantization(rng, tmp_path):
+    """Symbolic-batch artifacts only ever see power-of-two batch sizes.
+
+    Each DISTINCT concrete batch size re-specializes (recompiles) the
+    exported artifact -- seconds per size over a remote compile path --
+    so the loader quantizes padded rows to the next power of two
+    (measured on TPU: variable-size micro-batched serving was 4.7x
+    SLOWER than serialized dispatch before quantization, bench_serving
+    2026-08-18).  Pad rows are discarded, so parses are unchanged."""
+    from cliora_tpu.serving import _pow2_rows
+
+    assert [_pow2_rows(n) for n in (1, 2, 3, 4, 5, 7, 8, 9)] == \
+        [1, 2, 4, 4, 8, 8, 8, 16]
+
+    cfg = ModelConfig(size=16, input_size=24)
+    params = _params(cfg)
+    bundle = str(tmp_path / "bundle")
+    save_bundle(bundle, cfg, export_parser(cfg, params, [6]))
+    served = ExportedParser(bundle)
+
+    seen = []
+
+    class Spy:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def call(self, *args):
+            seen.append(args[0].shape[0])
+            return self.inner.call(*args)
+
+    served._fns[6] = Spy(served._fns[6])
+    sents = [list(rng.randint(2, V, n)) for n in (3, 6, 4, 5, 6)]
+    got = served.parse(sents)
+    assert seen == [8], seen  # 5 requests -> one padded-to-8 call
+
+    per_one = [served.parse([s])[0] for s in sents]
+    assert got == per_one
+    assert set(seen[1:]) == {1}  # B=1 quantizes to 1, not 2
+
+
 def test_http_server_roundtrip(rng, tmp_path):
     """scripts/serve.py: POST /parse over a live (threaded) server
     returns the same trees as the in-process loader."""
