@@ -42,13 +42,24 @@ def _tupleize(tree):
 
 
 def make_server(bundle: str, host: str = "127.0.0.1", port: int = 8000,
-                max_batch: int = 64, max_wait_ms: float = 5.0):
+                max_batch: int = 64, max_wait_ms: float = 5.0,
+                warm: bool = True):
     parser = ExportedParser(bundle)
     if parser.meta["use_obj"]:
         raise SystemExit(
             "serve.py handles text bundles; CLIORA bundles need region "
             "features per request -- use cliora_tpu.serving.ExportedParser "
             "directly")
+    if warm:
+        # pre-specialize every (bucket, quantized-batch) shape so no
+        # request ever pays a first-hit compile (tens of seconds over a
+        # remote compile path -- ExportedParser.warmup docstring)
+        import time
+
+        t0 = time.time()
+        n = parser.warmup(max_batch)
+        print(f"warmup: {n} shapes in {time.time() - t0:.1f}s",
+              flush=True)
     batcher = MicroBatcher(parser, max_batch=max_batch,
                            max_wait_ms=max_wait_ms)
 
@@ -109,10 +120,14 @@ def main(args=None):
     p.add_argument("--max_wait_ms", default=5.0, type=float,
                    help="micro-batching window: extra latency the first "
                         "request in a batch may pay to collect peers")
+    p.add_argument("--no_warm", action="store_true",
+                   help="skip the startup shape warmup (first request "
+                        "per novel batch size then pays its compile)")
     options = p.parse_args(args)
     srv = make_server(options.bundle, options.host, options.port,
                       max_batch=options.max_batch,
-                      max_wait_ms=options.max_wait_ms)
+                      max_wait_ms=options.max_wait_ms,
+                      warm=not options.no_warm)
     print(f"serving {options.bundle} on "
           f"http://{options.host}:{srv.server_address[1]}", flush=True)
     srv.serve_forever()

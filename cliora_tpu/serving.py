@@ -178,6 +178,44 @@ class ExportedParser:
             f"sentence length {n} exceeds the largest exported bucket "
             f"{self.bucket_lengths[-1]}")
 
+    def warmup(self, max_batch: int = 64) -> int:
+        """Pre-specialize every (bucket, quantized-batch) shape.
+
+        A symbolic-batch artifact re-specializes (compiles) per distinct
+        concrete batch size on first hit.  Over a remote compile path
+        that costs tens of seconds per shape, so an un-warmed
+        micro-batching server stalls multi-second on each novel
+        coalesced size (measured on the TPU tunnel: 1.9 req/s un-warmed
+        vs 36.3 lock-serialized at concurrency 16 -- the power-of-two
+        quantization bounds the shape count but first hits still pay).
+        Call once at server startup; afterwards every ``parse`` up to
+        ``max_batch`` rows runs pre-compiled.  Returns the number of
+        artifact calls made (buckets x quantized sizes).
+        """
+        use_obj = bool(self.meta["use_obj"])
+        pin = self.meta.get("batch")
+        if pin:
+            sizes = [int(pin)]
+        else:
+            sizes, b = [], 1
+            cap = _pow2_rows(max(1, int(max_batch)))
+            while b <= cap:
+                sizes.append(b)
+                b <<= 1
+        n_calls = 0
+        for L in self.bucket_lengths:
+            for b in sizes:
+                # length-L rows target exactly bucket L in bucket_for
+                sents = [[1] * L for _ in range(b)]
+                obj = None
+                if use_obj:
+                    obj = np.zeros(
+                        (b, self.meta["n_regions"],
+                         self.meta["obj_feat_size"]), np.float32)
+                self.parse(sents, obj_feats=obj)
+                n_calls += 1
+        return n_calls
+
     def parse(self, sentences: List[Sequence[int]],
               obj_feats: Optional[np.ndarray] = None):
         """Token-id sequences -> span trees (+ per-word region argmax

@@ -54,6 +54,10 @@ def _bench_concurrent(served, sents, args):
             t.join()
         return time.time() - t0
 
+    t0 = time.time()
+    n = served.warmup(N)   # pre-specialize the quantized batch shapes
+    print(f"warmup : {n} shapes in {time.time() - t0:.1f}s", flush=True)
+
     lock = threading.Lock()
 
     def serialized(sentences):
