@@ -57,11 +57,16 @@ def run(options):
                 tree_words = replace_leaves(tree, tokens)
                 if options.postprocess:
                     tree_words = postprocess(tree_words, tokens)
+                # attribution: bf16 charts break backpointer ties
+                # differently across decode backends (~0.5% of cells,
+                # ops/pallas_chart.py:45), so published trees carry the
+                # backend that produced them
                 record = collections.OrderedDict(
                     example_id=str(example_id), tree=tree_words,
                     tree_index_conll=tree, sentence=tokens,
                     gold_spans=list(gold_spans),
-                    pred_spans=list(pred_spans))
+                    pred_spans=list(pred_spans),
+                    parse_impl=res.get("parse_impl", "xla"))
                 fout.write(json.dumps(record) + "\n")
 
     print(f"corpus_f1:{f1.corpus_f1} \t sent_f1:{f1.sent_f1}")

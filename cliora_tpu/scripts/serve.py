@@ -53,7 +53,10 @@ def make_server(bundle: str, host: str = "127.0.0.1", port: int = 8000,
     if warm:
         # pre-specialize every (bucket, quantized-batch) shape so no
         # request ever pays a first-hit compile (tens of seconds over a
-        # remote compile path -- ExportedParser.warmup docstring)
+        # remote compile path).  Sound because warmup's max_batch and
+        # MicroBatcher's max_batch share the same unit (sentence rows):
+        # the batcher never coalesces past max_batch rows and chunks
+        # oversized single requests (serving.MicroBatcher docstring).
         import time
 
         t0 = time.time()
@@ -115,8 +118,9 @@ def main(args=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", default=8000, type=int)
     p.add_argument("--max_batch", default=64, type=int,
-                   help="max concurrent requests coalesced per device "
-                        "call")
+                   help="max sentences (rows) coalesced per device call; "
+                        "also the warmup row budget, so warmed servers "
+                        "never pay a first-hit compile")
     p.add_argument("--max_wait_ms", default=5.0, type=float,
                    help="micro-batching window: extra latency the first "
                         "request in a batch may pay to collect peers")

@@ -188,9 +188,15 @@ class ExportedParser:
         coalesced size (measured on the TPU tunnel: 1.9 req/s un-warmed
         vs 36.3 lock-serialized at concurrency 16 -- the power-of-two
         quantization bounds the shape count but first hits still pay).
-        Call once at server startup; afterwards every ``parse`` up to
-        ``max_batch`` rows runs pre-compiled.  Returns the number of
-        artifact calls made (buckets x quantized sizes).
+        Call once at server startup.
+
+        ``max_batch`` is a ROW (sentence) count, not a request count:
+        afterwards every artifact call of up to ``max_batch`` rows runs
+        pre-compiled.  Callers that coalesce requests must bound the
+        coalesced row count to ``max_batch`` (MicroBatcher does; pass
+        ``max_rows=max_batch`` to :meth:`parse` for direct calls) or
+        warm up to their true worst-case row count.  Returns the number
+        of artifact calls made (buckets x quantized sizes).
         """
         use_obj = bool(self.meta["use_obj"])
         pin = self.meta.get("batch")
@@ -217,9 +223,15 @@ class ExportedParser:
         return n_calls
 
     def parse(self, sentences: List[Sequence[int]],
-              obj_feats: Optional[np.ndarray] = None):
+              obj_feats: Optional[np.ndarray] = None,
+              max_rows: Optional[int] = None):
         """Token-id sequences -> span trees (+ per-word region argmax
-        for CLIORA bundles when ``obj_feats`` (B, R, F) is given)."""
+        for CLIORA bundles when ``obj_feats`` (B, R, F) is given).
+
+        ``max_rows`` caps the rows per artifact call (oversized bucket
+        groups are chunked), so a caller that warmed up to N rows can
+        guarantee no call exceeds the pre-compiled shapes by passing
+        ``max_rows=N``."""
         from cliora_tpu.analysis.trees import decode_batch
 
         assert sentences
@@ -240,9 +252,11 @@ class ExportedParser:
             i += len(group)
             # pinned-batch artifacts take exactly `pin` rows: chunk the
             # group and pad the tail with length-1 dummy rows (their
-            # outputs are discarded)
-            for c0 in range(0, len(group), pin or len(group)):
-                chunk = group[c0:c0 + (pin or len(group))]
+            # outputs are discarded); max_rows chunks symbolic-batch
+            # groups so warmed callers never exceed pre-compiled shapes
+            step = pin or (max_rows if max_rows else len(group))
+            for c0 in range(0, len(group), step):
+                chunk = group[c0:c0 + step]
                 # symbolic-batch artifacts re-specialize (compile) per
                 # DISTINCT concrete batch size, which over a remote
                 # compile path costs seconds -- quantize the padded row
@@ -327,8 +341,11 @@ class MicroBatcher:
     micro-batching pattern; the reference has no serving path at all).
 
     ``max_wait_ms`` bounds the added latency for the request that opens
-    a batch; ``max_batch`` bounds the number of *requests* coalesced
-    (sentences within a request are already batched by the caller).
+    a batch; ``max_batch`` bounds the total number of *sentences (rows)*
+    coalesced per device call -- the same unit as
+    ``ExportedParser.warmup(max_batch)``, so a server warmed to N rows
+    never pays a first-hit compile (oversized single requests are
+    chunked to ``max_batch`` rows per artifact call by ``parse``).
     """
 
     def __init__(self, parser, max_batch: int = 64,
@@ -340,6 +357,7 @@ class MicroBatcher:
         self._q: "queue.Queue" = queue.Queue()
         self._max_batch = max(1, int(max_batch))
         self._wait_s = max(0.0, float(max_wait_ms)) / 1e3
+        self._holdover = None  # request deferred to the next batch
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -373,14 +391,18 @@ class MicroBatcher:
         import time
 
         while True:
-            first = self._q.get()
+            if self._holdover is not None:
+                first, self._holdover = self._holdover, None
+            else:
+                first = self._q.get()
             if first is None:  # close() sentinel
                 return
             batch = [first]
+            rows = len(first.sentences)
             # monotonic: a wall-clock step must not stretch the window
             deadline = time.monotonic() + self._wait_s
             stop = False
-            while len(batch) < self._max_batch:
+            while rows < self._max_batch:
                 timeout = deadline - time.monotonic()
                 try:
                     r = (self._q.get_nowait() if timeout <= 0
@@ -390,10 +412,16 @@ class MicroBatcher:
                 if r is None:
                     stop = True
                     break
+                if rows + len(r.sentences) > self._max_batch:
+                    # would overflow the warmed row budget: it opens
+                    # the next batch instead (queue has no push-front)
+                    self._holdover = r
+                    break
                 batch.append(r)
+                rows += len(r.sentences)
             try:
                 flat = [s for r in batch for s in r.sentences]
-                trees = self._parser.parse(flat)
+                trees = self._parser.parse(flat, max_rows=self._max_batch)
                 i = 0
                 for r in batch:
                     r.result = trees[i:i + len(r.sentences)]
@@ -404,7 +432,8 @@ class MicroBatcher:
                 # alone so only the offender fails
                 for r in batch:
                     try:
-                        r.result = self._parser.parse(r.sentences)
+                        r.result = self._parser.parse(
+                            r.sentences, max_rows=self._max_batch)
                     except Exception as e:  # noqa: BLE001 -- per request
                         r.error = e
             for r in batch:

@@ -692,6 +692,14 @@ class Trainer:
         ``impl`` overrides cfg.parse_impl; 'pallas' routes the text-only
         decode through the fused VMEM-resident kernel when it supports
         the shape (ops/pallas_chart.py).
+
+        ``res["parse_impl"]`` records which backend actually decoded the
+        batch.  At f32 the two backends produce identical backpointers
+        (first-max argmax convention, pinned by tests/test_pallas_chart
+        .py); under bf16 charts split-score rounding differs and ~0.5%
+        of backpointers can disagree (ops/pallas_chart.py:45), so
+        published trees must be attributed to their backend --
+        scripts/parse.py stamps this into parse.jsonl.
         """
         impl = impl or self.cfg.parse_impl
         if impl == "auto":
@@ -719,7 +727,8 @@ class Trainer:
             B, L = tokens_np.shape
             if supports(L, self.cfg.size, B, self.cfg.compute_dtype):
                 bp = self._parse_pallas(params, jnp.asarray(tokens_np))
-                return {"cky_bp": np.asarray(bp)}, {}
+                return {"cky_bp": np.asarray(bp),
+                        "parse_impl": "pallas"}, {}
         tokens = jnp.asarray(batch_map["sentences"])
         neg = batch_map.get("neg_samples")
         neg = jnp.asarray(neg) if neg is not None else jnp.zeros(
@@ -737,6 +746,7 @@ class Trainer:
             params, tokens, neg, obj, compute_loss=compute_loss,
             outside=outside, with_chart=with_chart, lengths=lengths)
         res = {k: np.asarray(v) for k, v in res.items()}
+        res["parse_impl"] = "xla"
         return res, {k: float(v) for k, v in metrics.items()}
 
     def parameter_norm(self, trainable_only: bool = True) -> float:

@@ -29,6 +29,29 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-process / long-running tests")
+    config.addinivalue_line(
+        "markers", "smoke: fast correctness core (indices / chart ops / "
+        "einsum VJPs / native decode), `pytest -m smoke` < 5 min")
+
+
+# The fast lane: the full suite takes 25-40 min on the 1-core host, so
+# these modules form a < 5-min correctness core covering the chart-index
+# algebra, the inside/outside passes (incl. remat/CKY parity), the
+# low-precision einsum VJPs, and the C decoder.  Measured 2026-08-19:
+# 70 tests in ~4.4 min contended / less solo.  Run while iterating:
+#   python -m pytest -m smoke -q
+SMOKE_MODULES = {
+    "test_chart_indices",
+    "test_chart_pass",
+    "test_lowp_einsum",
+    "test_native",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
 
 
 @pytest.fixture

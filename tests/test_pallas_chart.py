@@ -67,3 +67,6 @@ def test_trainer_parse_pallas_impl(rng):
     res_x, _ = tr.parse(batch, outside=False)
     res_p, _ = tr.parse(batch, impl="pallas")
     np.testing.assert_array_equal(res_p["cky_bp"], res_x["cky_bp"])
+    # published trees are attributable to their decode backend
+    assert res_x["parse_impl"] == "xla"
+    assert res_p["parse_impl"] == "pallas"

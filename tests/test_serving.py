@@ -270,7 +270,9 @@ def test_http_server_roundtrip(rng, tmp_path):
     w2i = {"<unk>": 1, "a": 2, "b": 3, "c": 4}
     save_bundle(bundle, cfg, export_parser(cfg, params, [6]), word2idx=w2i)
 
-    srv = make_server(bundle, port=0)  # ephemeral port
+    # warm=False: warmup coverage is tested directly (test_warmup_*);
+    # here it would only add per-shape compiles on the 1-core test host
+    srv = make_server(bundle, port=0, warm=False)  # ephemeral port
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
@@ -317,7 +319,7 @@ def test_microbatcher_coalesces_and_scatters():
     calls = []
 
     class FakeParser:
-        def parse(self, sentences):
+        def parse(self, sentences, max_rows=None):
             calls.append(len(sentences))
             return [("tree", tuple(s)) for s in sentences]
 
@@ -347,7 +349,7 @@ def test_microbatcher_error_propagates():
     from cliora_tpu.serving import MicroBatcher
 
     class Boom:
-        def parse(self, sentences):
+        def parse(self, sentences, max_rows=None):
             raise ValueError("nope")
 
     mb = MicroBatcher(Boom(), max_wait_ms=0.0)
@@ -372,7 +374,7 @@ def test_http_server_concurrent_requests(rng, tmp_path):
     save_bundle(bundle, cfg, export_parser(cfg, params, [6]),
                 word2idx={"<unk>": 1, "a": 2, "b": 3, "c": 4})
 
-    srv = make_server(bundle, port=0, max_wait_ms=50.0)
+    srv = make_server(bundle, port=0, max_wait_ms=50.0, warm=False)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
@@ -411,6 +413,75 @@ def test_http_server_concurrent_requests(rng, tmp_path):
         srv.batcher.close()
 
 
+def test_microbatcher_bounds_coalesced_rows():
+    """max_batch bounds SENTENCES per device call (the warmup unit), not
+    requests: coalescing stops at the row budget, the overflowing
+    request opens the next batch, and every caller still gets its own
+    trees (ADVICE r3: request-count bounding let coalesced batches
+    exceed the warmed shapes)."""
+    import threading
+
+    from cliora_tpu.serving import MicroBatcher
+
+    calls = []
+
+    class FakeParser:
+        def parse(self, sentences, max_rows=None):
+            calls.append((len(sentences), max_rows))
+            return [tuple(s) for s in sentences]
+
+    mb = MicroBatcher(FakeParser(), max_batch=4, max_wait_ms=200.0)
+    results = {}
+
+    def worker(i):
+        sents = [[i, j] for j in range(3)]  # 3 rows per request
+        results[i] = mb.submit(sents)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    for i in range(4):
+        assert results[i] == [(i, j) for j in range(3)], i
+    # 12 rows / 4-row budget: no call may exceed 4 rows, and the row
+    # cap is forwarded so parse chunks any oversized single request
+    assert sum(n for n, _ in calls) == 12
+    assert all(n <= 4 for n, _ in calls), calls
+    assert all(mr == 4 for _, mr in calls), calls
+    mb.close()
+
+
+def test_parse_max_rows_chunks_oversized_groups(rng, tmp_path):
+    """ExportedParser.parse(max_rows=N) never calls an artifact with
+    more than pow2(N) rows, so a warmup(N) covers every call."""
+    cfg = ModelConfig(size=16, input_size=24)
+    params = _params(cfg)
+    bundle = str(tmp_path / "bundle")
+    save_bundle(bundle, cfg, export_parser(cfg, params, [6]))
+    served = ExportedParser(bundle)
+
+    seen = []
+
+    class Spy:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def call(self, *args):
+            seen.append(args[0].shape[0])
+            return self.inner.call(*args)
+
+    served._fns[6] = Spy(served._fns[6])
+    sents = [list(map(int, rng.randint(2, V, 6))) for _ in range(11)]
+    want = served.parse(sents)           # one 16-row padded call
+    assert max(seen) == 16
+    seen.clear()
+    got = served.parse(sents, max_rows=4)  # chunked: 4+4+4 rows max
+    assert max(seen) <= 4 and len(seen) == 3
+    assert got == want
+
+
 def test_microbatcher_isolates_bad_requests():
     """One malformed request in a coalesced batch must not fail its
     batch-mates: the batcher retries per request on batch failure."""
@@ -419,7 +490,7 @@ def test_microbatcher_isolates_bad_requests():
     from cliora_tpu.serving import MicroBatcher
 
     class Picky:
-        def parse(self, sentences):
+        def parse(self, sentences, max_rows=None):
             if any(len(s) == 0 for s in sentences):
                 raise ValueError("empty sentence")
             return [tuple(s) for s in sentences]

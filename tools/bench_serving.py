@@ -54,9 +54,14 @@ def _bench_concurrent(served, sents, args):
             t.join()
         return time.time() - t0
 
-    t0 = time.time()
-    n = served.warmup(N)   # pre-specialize the quantized batch shapes
-    print(f"warmup : {n} shapes in {time.time() - t0:.1f}s", flush=True)
+    if args.no_warm:
+        print("warmup : skipped (--no_warm); first hit per novel "
+              "coalesced shape pays its compile", flush=True)
+    else:
+        t0 = time.time()
+        n = served.warmup(N)  # pre-specialize the quantized batch shapes
+        print(f"warmup : {n} shapes in {time.time() - t0:.1f}s",
+              flush=True)
 
     lock = threading.Lock()
 
@@ -86,6 +91,10 @@ def main():
                          "vs lock-serialized per-request dispatch")
     ap.add_argument("--requests", default=200, type=int,
                     help="requests per concurrent stream benchmark")
+    ap.add_argument("--no_warm", action="store_true",
+                    help="skip warmup before the concurrent benchmark "
+                         "(reproduces the un-warmed micro-batching "
+                         "baseline in BASELINE.md)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. 'cpu' for a host-"
                          "side smoke); default probes the TPU tunnel "
