@@ -104,19 +104,18 @@ def main():
     # floors the loop at ~1.2 ms/step device-idle over this
     # environment's TPU tunnel (BASELINE.md round 3)
     K_CALL = 10
-    xs = {"tokens": jnp.broadcast_to(tokens, (K_CALL,) + tokens.shape),
-          "neg": jnp.broadcast_to(neg, (K_CALL,) + neg.shape),
-          "obj": jnp.broadcast_to(obj, (K_CALL,) + obj.shape)}
+    batches = tuple({"tokens": tokens, "neg": neg, "obj": obj}
+                    for _ in range(K_CALL))
 
     state = trainer.state
     for i in range(max(1, WARMUP // K_CALL)):
-        state, metrics = trainer._multi_step(state, xs, rng)
+        state, metrics = trainer._multi_step(state, batches, rng)
     float(metrics["total_loss"][-1])  # explicit sync: block_until_ready
                                       # is unreliable over the TPU tunnel
 
     t0 = time.time()
     for i in range(STEPS // K_CALL):
-        state, metrics = trainer._multi_step(state, xs, rng)
+        state, metrics = trainer._multi_step(state, batches, rng)
     float(metrics["total_loss"][-1])  # sync
     dt = time.time() - t0
     n_steps = (STEPS // K_CALL) * K_CALL

@@ -30,14 +30,39 @@ def run_eval(trainer, iterator, seed: int = 11,
 
     Sentences of length <= 2 are skipped, matching the reference
     (scripts/train.py:153-154).
+
+    Under a multi-process mesh the eval is DISTRIBUTED: every process
+    decodes a round-robin share of the validation batches on its local
+    param replica, and the F1/grounding counters are summed across
+    processes (allgather) -- metrics are identical to a chief-only pass
+    over the full set (tests/test_multihost.py) but the wall-clock
+    divides by the process count, instead of every non-chief process
+    idling through eval (the reference evals on rank 0 only,
+    cliora/scripts/train.py:105).  All processes must call this
+    together (the counter reduction is a collective); each returns the
+    same metrics dict.
     """
     f1 = F1Meter()
     grounding = GroundingMeter()
+    multiproc = bool(getattr(trainer, "multiprocess", False))
+    if multiproc:
+        import jax
+        pidx, pcnt = jax.process_index(), jax.process_count()
+    k = 0
 
     for batch_map in iterator.get_iterator(random_seed=seed):
         length = batch_map["length"]
         if length <= 2:
             continue
+        if multiproc:
+            # round-robin over the evaluable batches: the validation
+            # iterator is deliberately unchunked (data/dataset.py), so
+            # each process sees the same sequence and takes every
+            # pcnt-th full batch
+            mine = (k % pcnt) == pidx
+            k += 1
+            if not mine:
+                continue
         res, _ = trainer.parse(batch_map, compute_loss=False,
                                outside=use_obj)
         real = batch_map.get("real_size", batch_map["batch_size"])
@@ -65,6 +90,26 @@ def run_eval(trainer, iterator, seed: int = 11,
                 gold_spans = set(gt[bid][:-1])
                 f1.update(pred_spans, gold_spans)
 
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        # sum the raw counters across processes; every process computes
+        # the same final metrics from the global totals
+        vec = np.asarray([f1.tp, f1.fp, f1.fn,
+                          float(np.sum(f1.sent)), len(f1.sent),
+                          grounding.total, grounding.recalled,
+                          grounding.ccr], np.float64)
+        tot = np.asarray(
+            multihost_utils.process_allgather(vec)).sum(axis=0)
+        tp, fp, fn, sent_sum, sent_n, g_tot, g_rec, _ = tot
+        prec = tp / max(tp + fp, 1.0)
+        reca = tp / max(tp + fn, 1.0)
+        return {
+            "corpus_f1": (0.0 if prec + reca == 0
+                          else 2 * prec * reca / (prec + reca)),
+            "sent_f1": float(sent_sum / sent_n) if sent_n else 0.0,
+            "grounding_acc": float(g_rec / (g_tot + 1e-8)),
+        }
     return {
         "corpus_f1": f1.corpus_f1,
         "sent_f1": f1.sent_f1,

@@ -31,8 +31,15 @@ class ModelConfig:
     # rematerialize chart levels in the backward (jax.checkpoint):
     # activations per level are recomputed instead of stored, trading
     # step time for O(n) x less live memory -- enables e.g.
-    # B=128 x L=40 training that otherwise exceeds v5e HBM (BASELINE.md)
-    remat: bool = False
+    # B=128 x L=40 training that otherwise exceeds v5e HBM (BASELINE.md).
+    # True/False force it; "auto" decides PER COMPILED SHAPE from a
+    # trace-time activation-memory estimate (ops/chart_pass.remat_enabled)
+    # -- under mixed-length bucketing the short buckets skip the ~30%
+    # remat overhead while the long ones still fit HBM.
+    remat: object = False           # bool | "auto"
+    # HBM budget the auto policy steers under (leaves headroom for
+    # params, optimizer state and the loss-side tensors on a 16 GB v5e)
+    remat_budget_gb: float = 10.0
     # selective remat: only levels whose (B, L*N, D) intermediates are at
     # least this fraction of the biggest level's are checkpointed.
     # L*N = (n-level)*level is a parabola over levels, so the mid-chart
@@ -60,4 +67,5 @@ class ModelConfig:
         assert self.normalize in ("unit", "none"), self.normalize
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.aggregate in ("soft", "hard"), self.aggregate
+        assert self.remat in (True, False, "auto"), self.remat
         assert self.parse_impl in ("auto", "xla", "pallas"), self.parse_impl

@@ -53,7 +53,38 @@ def compute_dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
-def _remat_level(cfg: ModelConfig, cells: int, peak_cells: int) -> bool:
+# Calibrated stored-activation copy factor for the auto-remat estimate:
+# measured live memory of the unremated bf16 CLIORA step at B=128, n=40,
+# D=400 is 18.2 GB (BASELINE.md); the gathered-children row count over
+# both passes is (n^3-n)/2, giving ~5.6 effective stored copies of the
+# (rows, D) chart-dtype tensors (gathers, compose intermediates,
+# weighted-agg operands).  Reproduces every measured fit/OOM point:
+# B=64/n=40 (9.1 GB, fits), B=128/n=20 (4.6 GB), B=256/n=20 (9.1 GB).
+_ACT_COPY_FACTOR = 5.6
+
+
+def remat_enabled(cfg: ModelConfig, B: int, n: int, D: int) -> bool:
+    """Per-compiled-shape remat decision.
+
+    ``cfg.remat`` True/False force it.  "auto" estimates the step's
+    stored-activation bytes at trace time (shapes are static under jit)
+    and remats only when the estimate exceeds ``cfg.remat_budget_gb`` --
+    so under mixed-length bucketing the short buckets keep full speed
+    (remat costs ~30% when not needed, BASELINE.md L=20 table) while the
+    long buckets still fit HBM.
+    """
+    if cfg.remat is True:
+        return True
+    if not cfg.remat:
+        return False
+    itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
+    rows = (n ** 3 - n) // 2     # inside (n^3-n)/6 + outside (n^3-n)/3
+    est = _ACT_COPY_FACTOR * B * D * rows * itemsize
+    return est > cfg.remat_budget_gb * 2 ** 30
+
+
+def _remat_level(cfg: ModelConfig, enabled: bool, cells: int,
+                 peak_cells: int) -> bool:
     """Whether a level step with ``(B, cells, D)`` intermediates should be
     checkpointed, given the pass's largest level ``peak_cells``.
 
@@ -64,7 +95,7 @@ def _remat_level(cfg: ModelConfig, cells: int, peak_cells: int) -> bool:
     store and skipping them cuts recompute roughly in proportion to their
     FLOP share (see ModelConfig.remat_frac).
     """
-    if not cfg.remat:
+    if not enabled:
         return False
     return cells >= cfg.remat_frac * peak_cells
 
@@ -134,6 +165,7 @@ def inside_pass(
 
     cp = dp["inside_compose"]
     mat = dp["inside_score"]["mat"]
+    do_remat = remat_enabled(cfg, B, n, D)
 
     for level in range(1, n):
         L, N = n - level, level
@@ -181,7 +213,8 @@ def inside_pass(
         # outputs; the (B, L*N, D) gather/compose intermediates are
         # recomputed in the backward (selective per remat_frac)
         step = (jax.checkpoint(level_step)
-                if _remat_level(cfg, L * N, (n // 2) * (n - n // 2))
+                if _remat_level(cfg, do_remat, L * N,
+                                (n // 2) * (n - n // 2))
                 else level_step)
         lrng = jax.random.fold_in(rng, level) if rng is not None else None
         h_agg, s_agg, c_agg, s = step(inside_h, inside_s, inside_c, obj,
@@ -264,6 +297,7 @@ def outside_pass(
 
     cp = dp.get("outside_compose", dp["inside_compose"])
     mat = dp.get("outside_score", dp["inside_score"])["mat"]
+    do_remat = remat_enabled(cfg, B, n, D)
 
     # Root initialization (reference: cliora/net/diora.py:337-356),
     # at the true per-example root cell when padded.
@@ -330,7 +364,8 @@ def outside_pass(
             return h_agg, s_agg, c_agg, target_ok
 
         step = (jax.checkpoint(level_step)
-                if _remat_level(cfg, N * L, n * (n - 1)) else level_step)
+                if _remat_level(cfg, do_remat, N * L, n * (n - 1))
+                else level_step)
         h_agg, s_agg, c_agg, target_ok = step(
             outside_h, outside_s, outside_c, inside_h, inside_s, inside_c)
 

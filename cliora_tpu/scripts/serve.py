@@ -43,8 +43,12 @@ def _tupleize(tree):
 
 def make_server(bundle: str, host: str = "127.0.0.1", port: int = 8000,
                 max_batch: int = 64, max_wait_ms: float = 5.0,
-                warm: bool = True):
-    parser = ExportedParser(bundle)
+                warm: bool = True, cache: bool = True):
+    # cache=True: specialized executables persist in <bundle>/xla_cache,
+    # so a server RESTART re-warms from disk in seconds instead of
+    # recompiling every (bucket, batch) shape (113 s over the TPU
+    # tunnel, BASELINE.md)
+    parser = ExportedParser(bundle, cache=cache)
     if parser.meta["use_obj"]:
         raise SystemExit(
             "serve.py handles text bundles; CLIORA bundles need region "
@@ -127,11 +131,16 @@ def main(args=None):
     p.add_argument("--no_warm", action="store_true",
                    help="skip the startup shape warmup (first request "
                         "per novel batch size then pays its compile)")
+    p.add_argument("--no_cache", action="store_true",
+                   help="don't persist specialized executables in "
+                        "<bundle>/xla_cache (a restart then re-pays the "
+                        "full per-shape compile warmup)")
     options = p.parse_args(args)
     srv = make_server(options.bundle, options.host, options.port,
                       max_batch=options.max_batch,
                       max_wait_ms=options.max_wait_ms,
-                      warm=not options.no_warm)
+                      warm=not options.no_warm,
+                      cache=not options.no_cache)
     print(f"serving {options.bundle} on "
           f"http://{options.host}:{srv.server_address[1]}", flush=True)
     srv.serve_forever()

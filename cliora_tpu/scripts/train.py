@@ -204,16 +204,23 @@ def run_train(options, train_iterator, trainer, validation_iterator):
                                  f"experiment.epoch_{epoch}.json"), step)
                 _prune_checkpoints(options, epoch, logger)
 
-                metrics = run_eval(trainer, validation_iterator,
-                                   seed=options.seed,
-                                   use_obj=options.obj_feats)
-                corpus_f1 = metrics["corpus_f1"]
-                if corpus_f1 > best_f1:
+            # distributed eval: under a multi-process mesh every process
+            # decodes a share of the validation batches and the counters
+            # are allreduced (analysis/eval.py) -- a COLLECTIVE, so it
+            # runs on all processes (chief-only would deadlock it and
+            # idle the rest of the pod through eval anyway)
+            metrics = run_eval(trainer, validation_iterator,
+                               seed=options.seed,
+                               use_obj=options.obj_feats)
+            corpus_f1 = metrics["corpus_f1"]
+            if corpus_f1 > best_f1:
+                best_f1, best_epoch = corpus_f1, epoch
+            if is_chief:
+                if best_epoch == epoch:
                     # keep-best checkpoint: F1 oscillates +-0.03 late in
                     # training (BASELINE.md), so the last epoch is usually
                     # not the best one.  The reference keeps only per-epoch
                     # files (cliora/scripts/train.py:105-107).
-                    best_f1, best_epoch = corpus_f1, epoch
                     best = os.path.join(options.experiment_path,
                                         "model.best")
                     save_params(best + ".npz", local_params,

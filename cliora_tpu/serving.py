@@ -153,8 +153,26 @@ class ExportedParser:
     (analysis/trees.py ``bp_to_tree``).
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, cache: bool = False):
         from jax import export as jexport
+
+        if cache:
+            # Persist per-(bucket, batch-shape) specialized executables
+            # NEXT TO THE BUNDLE via the XLA compilation cache: each
+            # first hit of a concrete batch shape compiles once per
+            # bundle lifetime, not once per process -- a server restart
+            # re-specializes from disk in seconds instead of re-paying
+            # the full warmup (113 s over the TPU tunnel, BASELINE.md).
+            # Sets PROCESS-GLOBAL jax config (a pre-set
+            # jax_compilation_cache_dir is respected), which is why it
+            # is opt-in here; scripts/serve.py turns it on.
+            import jax
+            if not jax.config.jax_compilation_cache_dir:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.path.join(path, "xla_cache"))
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1)
 
         with open(os.path.join(path, MANIFEST)) as f:
             self.meta = json.load(f)

@@ -424,11 +424,18 @@ class Trainer:
 
         @functools.partial(jax.jit, donate_argnums=0,
                            out_shardings=_state_out)
-        def multi_step(state: TrainState, xs, rng) -> tuple:
-            """K stacked same-shape batches -> K optimizer steps in ONE
-            XLA program (lax.scan).  Amortizes per-dispatch latency --
-            host dispatch/tunnel round trips are the train-loop floor on
-            remote-attached TPUs (BASELINE.md round 3)."""
+        def multi_step(state: TrainState, batches, rng) -> tuple:
+            """K same-shape batches -> K optimizer steps in ONE XLA
+            program (lax.scan).  Amortizes per-dispatch latency -- host
+            dispatch/tunnel round trips are the train-loop floor on
+            remote-attached TPUs (BASELINE.md round 3).
+
+            ``batches`` is a TUPLE of per-step batch dicts; stacking to
+            the (K, ...) scan operands happens here inside the jit so
+            multi-process global arrays never hit an eager op (jax
+            forbids eager compute on non-fully-addressable arrays)."""
+            xs = jax.tree.map(lambda *v: jnp.stack(v), *batches)
+
             def body(st, x):
                 grads, metrics = grads_and_metrics(
                     st.params, x["tokens"], x["neg"], x.get("obj"),
@@ -566,29 +573,14 @@ class Trainer:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices("cliora_tpu.epoch")
 
-    def step(self, batch_map: Dict[str, Any], train: bool = True,
-             rng: Optional[jax.Array] = None):
-        """One optimization (or eval) step from a host-side batch_map.
+    def _place_batch(self, batch_map, on_indivisible: str = "error"):
+        """Place one batch_map's device leaves (mesh-aware).
 
-        batch_map: {'sentences': (B, L) int, 'neg_samples': (k,) int,
-                    'obj_feats': (B, R, F) float or None}
-        Returns metrics dict of python floats.
-        """
+        Returns (tokens, neg, obj, lengths) as device arrays -- batch
+        axes sharded over dp, shared vectors replicated; under a
+        multi-process mesh per-process local chunks are assembled into
+        global arrays (parallel/mesh.py shard_batch)."""
         lengths = batch_map.get("lengths")
-        if not train and self.multiprocess:
-            # eval is per-process-local (chief-only in the epoch loop):
-            # run it on the addressable param replica with plain local
-            # arrays, off the global mesh -- dispatching a global-mesh
-            # computation from one process would hang the collective.
-            tokens = jnp.asarray(batch_map["sentences"])
-            neg = jnp.asarray(batch_map["neg_samples"])
-            obj = batch_map.get("obj_feats")
-            obj = jnp.asarray(obj) if obj is not None else None
-            if lengths is not None:
-                lengths = jnp.asarray(lengths, jnp.int32)
-            metrics = self._eval_step(self.local_params(), tokens, neg,
-                                      obj, lengths)
-            return metrics
         if self.mesh is not None:
             from cliora_tpu.parallel.mesh import (
                 batch_sharding,
@@ -598,7 +590,7 @@ class Trainer:
                 k: batch_map[k]
                 for k in ("sentences", "neg_samples", "obj_feats")
                 if batch_map.get(k) is not None},
-                on_indivisible="error" if train else "warn")
+                on_indivisible=on_indivisible)
             tokens = sharded["sentences"]
             neg = sharded["neg_samples"]
             obj = sharded.get("obj_feats")
@@ -622,6 +614,33 @@ class Trainer:
             obj = jnp.asarray(obj) if obj is not None else None
             if lengths is not None:
                 lengths = jnp.asarray(lengths, jnp.int32)
+        return tokens, neg, obj, lengths
+
+    def step(self, batch_map: Dict[str, Any], train: bool = True,
+             rng: Optional[jax.Array] = None):
+        """One optimization (or eval) step from a host-side batch_map.
+
+        batch_map: {'sentences': (B, L) int, 'neg_samples': (k,) int,
+                    'obj_feats': (B, R, F) float or None}
+        Returns metrics dict of python floats.
+        """
+        if not train and self.multiprocess:
+            # eval is per-process-local (chief-only in the epoch loop):
+            # run it on the addressable param replica with plain local
+            # arrays, off the global mesh -- dispatching a global-mesh
+            # computation from one process would hang the collective.
+            lengths = batch_map.get("lengths")
+            tokens = jnp.asarray(batch_map["sentences"])
+            neg = jnp.asarray(batch_map["neg_samples"])
+            obj = batch_map.get("obj_feats")
+            obj = jnp.asarray(obj) if obj is not None else None
+            if lengths is not None:
+                lengths = jnp.asarray(lengths, jnp.int32)
+            metrics = self._eval_step(self.local_params(), tokens, neg,
+                                      obj, lengths)
+            return metrics
+        tokens, neg, obj, lengths = self._place_batch(
+            batch_map, on_indivisible="error" if train else "warn")
         if train:
             if rng is None:
                 rng = jax.random.fold_in(self._host_rng, self._host_step)
@@ -642,41 +661,36 @@ class Trainer:
         Returns a list of per-step metrics dicts (lazy device slices of
         the scan-stacked metrics).  Requires all batch_maps to share
         shapes (the CLI groups consecutive same-bucket batches,
-        scripts/train.py); single-process only -- under a multi-process
-        mesh use per-step dispatch.
+        scripts/train.py).  Works under a multi-process mesh too: each
+        batch is placed exactly like ``step`` places it (per-process
+        local chunks assembled into dp-sharded global arrays) and the
+        K-stacking happens inside the jitted program -- every process
+        must call ``steps`` with the same K and shapes (the same
+        collective contract as K calls to ``step``).
         """
         assert batch_maps
-        if self.multiprocess:
-            raise NotImplementedError(
-                "steps_per_call > 1 is single-process only")
         K = len(batch_maps)
         shapes = {tuple(bm["sentences"].shape) for bm in batch_maps}
         assert len(shapes) == 1, shapes
 
-        def stacked(key):
-            if batch_maps[0].get(key) is None:
-                return None
-            return jnp.stack([jnp.asarray(bm[key]) for bm in batch_maps])
-
-        xs = {"tokens": stacked("sentences"), "neg": stacked("neg_samples")}
-        obj = stacked("obj_feats")
-        if obj is not None:
-            xs["obj"] = obj
-        lengths = stacked("lengths")
-        if lengths is not None:
-            xs["lengths"] = lengths.astype(jnp.int32)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from cliora_tpu.parallel.mesh import DP_AXIS
-            # the batch axis is axis 1 (K leads); neg ids are shared
-            def put(k, x):
-                spec = (P() if k == "neg" else
-                        P(None, DP_AXIS, *([None] * (x.ndim - 2))))
-                return jax.device_put(x, NamedSharding(self.mesh, spec))
-            xs = {k: put(k, v) for k, v in xs.items()}
+        batches = []
+        for bm in batch_maps:
+            tokens, neg, obj, lengths = self._place_batch(bm)
+            b = {"tokens": tokens, "neg": neg}
+            if obj is not None:
+                b["obj"] = obj
+            if lengths is not None:
+                b["lengths"] = lengths
+            batches.append(b)
         rng = jax.random.fold_in(self._host_rng, self._host_step)
         self._host_step += K
-        self.state, metrics = self._multi_step(self.state, xs, rng)
+        self.state, metrics = self._multi_step(
+            self.state, tuple(batches), rng)
+        if self.multiprocess:
+            # metrics are replicated (pinned out_shardings) but not
+            # fully addressable per process; slice each process's own
+            # replica lazily (no collective, stays async)
+            metrics = jax.tree.map(_local_value, metrics)
         return [jax.tree.map(lambda m, k=k: m[k], metrics)
                 for k in range(K)]
 

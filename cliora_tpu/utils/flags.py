@@ -19,6 +19,16 @@ DATA_TYPES = ("coco", "flickr", "ptb", "txt", "jsonl", "conll",
               "synthetic")
 
 
+def _bool_flag(v: str) -> bool:
+    """Parse explicit boolean flag values ('true'/'false'/'1'/'0')."""
+    s = str(v).strip().lower()
+    if s in ("1", "true", "yes", "on"):
+        return True
+    if s in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean or 'auto': {v}")
+
+
 def argument_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
 
@@ -134,11 +144,20 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--finetune_after", default=0, type=int)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 matmul compute in the chart passes.")
-    p.add_argument("--remat", action="store_true",
+    p.add_argument("--remat", nargs="?", const=True, default=False,
+                   type=lambda v: v if v == "auto" else _bool_flag(v),
                    help="rematerialize chart levels in the backward "
                         "(jax.checkpoint): ~30%% slower steps, O(n)x "
                         "less activation memory -- for long sentences / "
-                        "big batches that exceed HBM.")
+                        "big batches that exceed HBM.  Bare --remat "
+                        "forces it on; '--remat auto' decides per "
+                        "compiled shape from a trace-time memory "
+                        "estimate, so short length-buckets keep full "
+                        "speed while long ones still fit.")
+    p.add_argument("--remat_budget_gb", default=10.0, type=float,
+                   help="HBM budget the '--remat auto' policy steers "
+                        "under (headroom below the 16 GB v5e for "
+                        "params/optimizer/loss tensors).")
     p.add_argument("--steps_per_call", default=1, type=int,
                    help="group this many consecutive same-shape train "
                         "batches into ONE device dispatch (lax.scan over "

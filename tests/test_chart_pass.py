@@ -189,3 +189,69 @@ def test_remat_grads_match(rng, remat_frac):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=2e-6)
+
+
+def test_remat_auto_policy():
+    """'--remat auto' decides per compiled shape from the calibrated
+    activation-memory estimate: reproduces every measured fit/OOM point
+    (BASELINE.md L=40 table) with the default 10 GB budget."""
+    import dataclasses
+    from cliora_tpu.ops.chart_pass import remat_enabled
+
+    base = ModelConfig(size=400, remat="auto", compute_dtype="bfloat16")
+    # measured: B=128/n=40 needs 18.2 GB (OOMs unremated) -> remat
+    assert remat_enabled(base, 128, 40, 400)
+    # measured fits: B=64/n=40 (186 ms unremated), B=128/n=20, B=256/n=20
+    assert not remat_enabled(base, 64, 40, 400)
+    assert not remat_enabled(base, 128, 20, 400)
+    assert not remat_enabled(base, 256, 20, 400)
+    # f32 doubles the bytes: B=128/n=32 crosses only at f32
+    f32 = dataclasses.replace(base, compute_dtype="float32")
+    assert remat_enabled(f32, 128, 32, 400)
+    assert not remat_enabled(base, 128, 32, 400)
+    # forced modes ignore the estimate
+    assert remat_enabled(dataclasses.replace(base, remat=True), 1, 3, 8)
+    assert not remat_enabled(
+        dataclasses.replace(base, remat=False), 1024, 48, 1024)
+    # budget is steerable (est at B=2/n=6/D=12 bf16 is ~28 KB)
+    tight = dataclasses.replace(base, remat_budget_gb=1e-6)
+    assert remat_enabled(tight, 2, 6, 12)
+
+
+def test_remat_auto_grads_match(rng):
+    """A forced-auto remat decision (tiny budget) is numerics-neutral,
+    and the flag surface round-trips '--remat auto'."""
+    import dataclasses
+    from cliora_tpu.training.trainer import TrainConfig, compute_losses
+    from cliora_tpu.models.params import init_params
+    from cliora_tpu.utils.flags import argument_parser
+
+    opts = argument_parser().parse_args(
+        ["--remat", "auto", "--remat_budget_gb", "0.000001"])
+    assert opts.remat == "auto" and opts.remat_budget_gb == 1e-6
+    opts2 = argument_parser().parse_args(["--remat"])
+    assert opts2.remat is True
+    assert argument_parser().parse_args([]).remat is False
+
+    V = 40
+    cfg = ModelConfig(size=12, input_size=10)
+    cfg_auto = dataclasses.replace(cfg, remat="auto",
+                                   remat_budget_gb=1e-6)
+    from cliora_tpu.ops.chart_pass import remat_enabled
+    assert remat_enabled(cfg_auto, 3, 7, 12)   # the tiny budget trips it
+    tc = TrainConfig(lr=1e-3, k_neg=5, emb_trainable=True)
+    params = init_params(jax.random.PRNGKey(0), cfg, V)
+    toks = jnp.asarray(rng.randint(2, V, (3, 7)))
+    neg = jnp.asarray(rng.choice(V, 5, replace=False))
+
+    def total(c, p):
+        t, _ = compute_losses(c, tc, p, toks, neg, rng=None, train=True)
+        return t
+
+    np.testing.assert_allclose(float(total(cfg_auto, params)),
+                               float(total(cfg, params)), rtol=1e-6)
+    g0 = jax.grad(lambda p: total(cfg, p))(params)
+    g1 = jax.grad(lambda p: total(cfg_auto, p))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-6)

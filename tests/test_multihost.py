@@ -274,6 +274,131 @@ def test_incomplete_topology_error_is_clear(monkeypatch):
         initialize_multihost("host:9", 4, 1)
 
 
+_STEPS_WORKER = textwrap.dedent("""
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+
+    import numpy as np
+    from cliora_tpu.parallel.multihost import initialize_multihost
+
+    pid = int(sys.argv[1])
+    initialize_multihost(coordinator_address={coord!r},
+                         num_processes=2, process_id=pid)
+
+    from cliora_tpu.models.config import ModelConfig
+    from cliora_tpu.parallel.mesh import make_mesh
+    from cliora_tpu.training.trainer import TrainConfig, Trainer, \\
+        _local_value
+
+    # text-only: the zero-init image encoder's roundoff-scale grads get
+    # Adam-amplified to lr scale, so cross-program parity tests must
+    # avoid the visual head (CLAUDE.md round-3 finding); dropout-free
+    # (steps() and step() draw dropout keys differently by design)
+    cfg = ModelConfig(size=16, input_size=24, attn_dropout=0.0)
+    tc = TrainConfig(lr=1e-3, k_neg=4, emb_trainable=True)
+
+    # per-process LOCAL batch chunks (4 rows each; global B=8), identical
+    # streams on both processes modulo the chunk
+    rs = np.random.RandomState(7)
+    K = 4
+    batches = []
+    for _ in range(K):
+        glob = {{
+            "sentences": rs.randint(2, 100, (8, 6)),
+            "neg_samples": rs.choice(100, 4, replace=False),
+        }}
+        batches.append({{
+            "sentences": glob["sentences"][4 * pid:4 * pid + 4],
+            "neg_samples": glob["neg_samples"],
+        }})
+
+    mesh = make_mesh(2)
+    t1 = Trainer.build(cfg, tc, 100, seed=0, mesh=mesh)
+    # metrics are replicated global arrays (not fully addressable per
+    # process): take this process's replica before float()
+    seq = [jax.tree.map(_local_value, dict(t1.step(bm)))
+           for bm in batches]
+
+    t2 = Trainer.build(cfg, tc, 100, seed=0, mesh=mesh)
+    grouped = t2.steps(batches)    # --steps_per_call 4, one dispatch
+
+    assert len(grouped) == K
+    for a, b in zip(seq, grouped):
+        for k in a:
+            np.testing.assert_allclose(float(a[k]), float(b[k]),
+                                       rtol=1e-5, err_msg=k)
+    for pa, pb in zip(jax.tree.leaves(t1.local_params()),
+                      jax.tree.leaves(t2.local_params())):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-6)
+
+    # distributed eval parity (VERDICT r3 item 7): run_eval shards the
+    # validation batches round-robin over the 2 processes and allreduces
+    # the F1 counters -- metrics must equal a full single-pass eval.
+    from cliora_tpu.analysis.eval import run_eval
+    from cliora_tpu.analysis.trees import F1Meter
+    from cliora_tpu.analysis.eval import eval_batch_trees
+
+    ev = []
+    for _ in range(5):   # odd count: processes get unequal shares
+        sents = rs.randint(2, 100, (4, 6))
+        gold = [[(0, 2), (3, 5), (0, 5)] for _ in range(4)]
+        ev.append({{"sentences": sents, "batch_size": 4, "length": 6,
+                    "neg_samples": rs.choice(100, 4, replace=False),
+                    "GT": gold}})
+
+    class It:
+        def get_iterator(self, random_seed=None):
+            return iter(ev)
+
+    got = run_eval(t1, It(), use_obj=False)
+
+    # reference: full-set chief-style pass on this process alone
+    f1 = F1Meter()
+    for bm in ev:
+        res, _ = t1.parse(bm, compute_loss=False, outside=False)
+        for bid, (_t, pred) in enumerate(
+                eval_batch_trees(res["cky_bp"], 6)):
+            f1.update(pred, set(bm["GT"][bid][:-1]))
+    np.testing.assert_allclose(got["corpus_f1"], f1.corpus_f1)
+    np.testing.assert_allclose(got["sent_f1"], f1.sent_f1)
+    print("WORKER_OK", pid)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_steps_per_call(tmp_path):
+    """Trainer.steps under a true 2-process global mesh (VERDICT r3
+    item 4): K local batch chunks are assembled into dp-sharded global
+    arrays, stacked INSIDE the jitted program, and the K-step scan
+    matches K sequential step() dispatches -- per-step metrics and final
+    params identical."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(_STEPS_WORKER.format(repo=REPO, coord=coord))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # 1 device per process
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER_OK {i}" in out
+
+
 _ORBAX_WORKER = textwrap.dedent("""
     import os, sys
     import jax

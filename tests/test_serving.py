@@ -272,7 +272,8 @@ def test_http_server_roundtrip(rng, tmp_path):
 
     # warm=False: warmup coverage is tested directly (test_warmup_*);
     # here it would only add per-shape compiles on the 1-core test host
-    srv = make_server(bundle, port=0, warm=False)  # ephemeral port
+    # cache=False: the executable cache sets process-global jax config
+    srv = make_server(bundle, port=0, warm=False, cache=False)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
@@ -374,7 +375,8 @@ def test_http_server_concurrent_requests(rng, tmp_path):
     save_bundle(bundle, cfg, export_parser(cfg, params, [6]),
                 word2idx={"<unk>": 1, "a": 2, "b": 3, "c": 4})
 
-    srv = make_server(bundle, port=0, max_wait_ms=50.0, warm=False)
+    srv = make_server(bundle, port=0, max_wait_ms=50.0, warm=False,
+                      cache=False)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:

@@ -1,0 +1,179 @@
+"""Throughput at the reference's ACTUAL training envelope: bucketed
+mixed-length sentences up to L=40.
+
+The reference trains Flickr with ``--train_filter_length 40``
+(/root/reference/train_diora.sh:22) over naturally mixed caption
+lengths; BASELINE.md's L=20 headline measures one fixed length.  This
+tool measures the full mixed-length path: a caption-like length
+distribution (lognormal, clipped to [min_len, 40]), the production
+masked length-bucketing machinery (data/batching.py BatchIterator with
+``length_buckets``), multi-step dispatch per bucket, and '--remat auto'
+(short buckets unremated at full speed, long buckets checkpointed to
+fit HBM -- ops/chart_pass.remat_enabled).
+
+Methodology: per-bucket steady-state step time is measured with
+device-resident batches (the prefetch pipeline's steady state; host
+uploads over this environment's TPU tunnel are not the production
+bound, BASELINE.md round 3) and composed into corpus throughput by each
+bucket's actual batch count from a real epoch of the sampler:
+
+    sents/s = total_sentences / sum_b (n_batches_b * step_time_b)
+
+Prints ONE json line.  Usage:
+    python tools/bench_bucketed.py [--cliora] [--batch 128]
+        [--n_buckets 4] [--sentences 20000] [--steps_per_call 10]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+V, D, E, KNEG, R, F = 10000, 400, 1024, 100, 36, 2048
+
+
+def sample_lengths(n, lo, hi, rs):
+    """Caption-like length mix: lognormal(mean~13 tokens) clipped."""
+    x = rs.lognormal(mean=2.55, sigma=0.45, size=n)
+    return np.clip(np.round(x), lo, hi).astype(int)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", default=128, type=int)
+    ap.add_argument("--min_len", default=5, type=int)
+    ap.add_argument("--max_len", default=40, type=int)
+    ap.add_argument("--n_buckets", default=4, type=int)
+    ap.add_argument("--sentences", default=20000, type=int,
+                    help="epoch size used for the bucket-mass weights")
+    ap.add_argument("--steps_per_call", default=10, type=int)
+    ap.add_argument("--timed_calls", default=3, type=int,
+                    help="timed multi-step dispatches per bucket")
+    ap.add_argument("--cliora", action="store_true",
+                    help="full CLIORA step (visual losses); default is "
+                         "the DIORA text pretrain envelope of "
+                         "train_diora.sh")
+    ap.add_argument("--remat", default="auto",
+                    help="'auto' (default) | 'true' | 'false'")
+    ap.add_argument("--remat_frac", default=0.85, type=float)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    else:
+        from cliora_tpu.utils.tpu_probe import tpu_reachable
+
+        if not tpu_reachable():
+            print(json.dumps({"error": "TPU tunnel unreachable"}))
+            return
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    import jax.numpy as jnp
+
+    from cliora_tpu.data.batching import BatchIterator, choose_buckets
+    from cliora_tpu.data.sampler import NegativeSampler
+    from cliora_tpu.models.config import ModelConfig
+    from cliora_tpu.training.trainer import TrainConfig, Trainer
+
+    rs = np.random.RandomState(0)
+    lengths = sample_lengths(args.sentences, args.min_len, args.max_len,
+                             rs)
+    buckets = choose_buckets(lengths, args.n_buckets)
+
+    # the production data path: real dataset rows -> same-length sampler
+    # -> bucket padding + lengths vectors (masked bucketing)
+    dataset = [(i, rs.randint(2, V, n).tolist(),
+                np.zeros(1, np.float32), np.zeros(1, np.float32), 0)
+               for i, n in enumerate(lengths)]
+    sampler = NegativeSampler(
+        np.ones(V) / V, rng=np.random.RandomState(1))
+    it = BatchIterator(dataset, negative_sampler=sampler, k_neg=KNEG,
+                       batch_size=args.batch, include_partial=False,
+                       length_buckets=buckets, prefetch=0)
+
+    # one real epoch: per padded-length batch counts + a representative
+    # batch per bucket (shapes are identical within a bucket)
+    n_batches, rep = {}, {}
+    for bm in it.get_iterator(random_seed=0):
+        Lp = bm["padded_length"]
+        n_batches[Lp] = n_batches.get(Lp, 0) + 1
+        rep.setdefault(Lp, bm)
+
+    remat = args.remat if args.remat == "auto" else \
+        args.remat.lower() in ("1", "true", "yes")
+    cfg = ModelConfig(size=D, input_size=E, compute_dtype="bfloat16",
+                      use_obj=args.cliora,
+                      remat=remat, remat_frac=args.remat_frac)
+    tc = TrainConfig(lr=5e-4, k_neg=KNEG, emb_trainable=True,
+                     vg_loss=args.cliora, use_contr=args.cliora,
+                     attn_impl="pallas" if args.cliora else "einsum")
+    trainer = Trainer.build(cfg, tc, V, seed=0)
+
+    from cliora_tpu.ops.chart_pass import remat_enabled
+
+    K = args.steps_per_call
+    per_bucket = {}
+    for Lp in sorted(rep):
+        bm = rep[Lp]
+        B = bm["batch_size"]
+        dev = {
+            "sentences": jnp.asarray(bm["sentences"]),
+            "neg_samples": jnp.asarray(bm["neg_samples"]),
+            "lengths": jnp.asarray(bm["lengths"], jnp.int32),
+        }
+        if args.cliora:
+            dev["obj_feats"] = jnp.asarray(
+                rs.randn(B, R, F).astype(np.float32))
+        group = [dev] * K
+
+        t0 = time.time()
+        ms = trainer.steps(group)                      # compile + warm
+        float(ms[-1]["total_loss"])                    # tunnel-safe sync
+        compile_s = time.time() - t0
+
+        t0 = time.time()
+        for _ in range(args.timed_calls):
+            ms = trainer.steps(group)
+        float(ms[-1]["total_loss"])
+        dt = (time.time() - t0) / (args.timed_calls * K)
+        per_bucket[Lp] = {
+            "ms_per_step": round(dt * 1e3, 2),
+            "sents_per_sec": round(B / dt, 1),
+            "n_batches": n_batches[Lp],
+            "remat": bool(remat_enabled(cfg, B, Lp, D)),
+            "compile_s": round(compile_s, 1),
+        }
+        print(f"bucket L<={Lp}: {dt * 1e3:7.2f} ms/step  "
+              f"{B / dt:7.0f} sents/s  x{n_batches[Lp]} batches  "
+              f"remat={per_bucket[Lp]['remat']}", flush=True)
+
+    total_sents = sum(n_batches[L] * rep[L]["batch_size"]
+                      for L in n_batches)
+    epoch_s = sum(n_batches[L] * per_bucket[L]["ms_per_step"] / 1e3
+                  for L in n_batches)
+    print(json.dumps({
+        "metric": ("cliora" if args.cliora else "diora")
+        + "_bucketed_mixed_length_train_sents_per_sec_per_chip",
+        "value": round(total_sents / epoch_s, 1),
+        "unit": "sentences/sec/chip",
+        "buckets": buckets,
+        "batch": args.batch,
+        "remat": args.remat,
+        "remat_frac": args.remat_frac,
+        "steps_per_call": K,
+        "per_bucket": per_bucket,
+    }))
+
+
+if __name__ == "__main__":
+    main()

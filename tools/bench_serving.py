@@ -95,6 +95,14 @@ def main():
                     help="skip warmup before the concurrent benchmark "
                          "(reproduces the un-warmed micro-batching "
                          "baseline in BASELINE.md)")
+    ap.add_argument("--bundle_dir", default=None,
+                    help="persist the bundle (and its xla_cache of "
+                         "specialized executables) here and reuse it if "
+                         "present; run twice to measure the warm-RESTART "
+                         "path -- the second process's warmup should "
+                         "load executables from the bundle cache in "
+                         "seconds instead of recompiling (serving.py "
+                         "ExportedParser cache)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. 'cpu' for a host-"
                          "side smoke); default probes the TPU tunnel "
@@ -128,15 +136,33 @@ def main():
     rs = np.random.RandomState(0)
     sents = [list(rs.randint(2, 10000, L)) for _ in range(B)]
 
-    t0 = time.time()
-    arts = export_parser(cfg, params, [L])
-    print(f"export: {time.time() - t0:.1f}s, "
-          f"{len(arts[L]) / 1e6:.2f} MB", flush=True)
-    with tempfile.TemporaryDirectory() as d:
-        save_bundle(d, cfg, arts)
-        served = ExportedParser(d)
+    import contextlib
 
-        served.parse(sents)                      # warm (compile)
+    if args.bundle_dir:
+        ctx = contextlib.nullcontext(args.bundle_dir)
+        reuse = os.path.exists(os.path.join(args.bundle_dir,
+                                            "manifest.json"))
+    else:
+        ctx = tempfile.TemporaryDirectory()
+        reuse = False
+    if not reuse:
+        t0 = time.time()
+        arts = export_parser(cfg, params, [L])
+        print(f"export: {time.time() - t0:.1f}s, "
+              f"{len(arts[L]) / 1e6:.2f} MB", flush=True)
+    with ctx as d:
+        if not reuse:
+            save_bundle(d, cfg, arts)
+        else:
+            print(f"reusing bundle at {d} (warm-restart path)",
+                  flush=True)
+        # persistent bundles cache their specialized executables
+        served = ExportedParser(d, cache=bool(args.bundle_dir))
+
+        t0 = time.time()
+        served.parse(sents)           # warm (compile or cache load)
+        print(f"first-hit specialize (B={B}): {time.time() - t0:.1f}s",
+              flush=True)
         t0 = time.time()
         for _ in range(args.steps):
             served.parse(sents)
