@@ -95,8 +95,8 @@ def main():
     dataset = [(i, rs.randint(2, V, n).tolist(),
                 np.zeros(1, np.float32), np.zeros(1, np.float32), 0)
                for i, n in enumerate(lengths)]
-    sampler = NegativeSampler(
-        np.ones(V) / V, rng=np.random.RandomState(1))
+    sampler = NegativeSampler(np.ones(V) / V)
+    sampler.set_seed(1)
     it = BatchIterator(dataset, negative_sampler=sampler, k_neg=KNEG,
                        batch_size=args.batch, include_partial=False,
                        length_buckets=buckets, prefetch=0)
