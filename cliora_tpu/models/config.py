@@ -48,6 +48,16 @@ class ModelConfig:
     # cost.  0.0 = remat every level (strict superset of the reference,
     # which has no remat at all).
     remat_frac: float = 0.0
+    # what a checkpointed level stores for its backward:
+    #   'full': nothing beyond the level inputs -- the whole forward
+    #           (gathers, compose matmuls, scores) is recomputed;
+    #   'dots': matmul (dot_general) outputs are saved
+    #           (jax.checkpoint_policies.dots_saveable), so the backward
+    #           recomputes only gathers + elementwise + the custom-vjp
+    #           einsums.  ~2 stored (rows, D) copies per level vs ~5.6
+    #           unremated vs ~0 for 'full' -- the middle point of the
+    #           memory/recompute trade (measured L=40 table, BASELINE.md).
+    remat_policy: str = "full"
     # 'soft': softmax-weighted split aggregation (DIORA); 'hard': argmax
     # split only (the S-DIORA greedy variant -- selectable but never
     # shipped in the reference: cliora/net/trainer.py:525 raises)
@@ -68,4 +78,5 @@ class ModelConfig:
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.aggregate in ("soft", "hard"), self.aggregate
         assert self.remat in (True, False, "auto"), self.remat
+        assert self.remat_policy in ("full", "dots"), self.remat_policy
         assert self.parse_impl in ("auto", "xla", "pallas"), self.parse_impl

@@ -83,6 +83,20 @@ def remat_enabled(cfg: ModelConfig, B: int, n: int, D: int) -> bool:
     return est > cfg.remat_budget_gb * 2 ** 30
 
 
+def _checkpoint(cfg: ModelConfig, fn):
+    """``jax.checkpoint`` with the configured residual policy.
+
+    'full' stores nothing beyond the level inputs; 'dots' additionally
+    saves dot_general outputs (compose fc0/fc1, bilinear) so the backward
+    recomputes only gathers + elementwise -- the middle point of the
+    memory/recompute trade (see ModelConfig.remat_policy).
+    """
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_saveable)
+    return jax.checkpoint(fn)
+
+
 def _remat_level(cfg: ModelConfig, enabled: bool, cells: int,
                  peak_cells: int) -> bool:
     """Whether a level step with ``(B, cells, D)`` intermediates should be
@@ -212,7 +226,7 @@ def inside_pass(
         # remat: store only the level's inputs (the charts) and the small
         # outputs; the (B, L*N, D) gather/compose intermediates are
         # recomputed in the backward (selective per remat_frac)
-        step = (jax.checkpoint(level_step)
+        step = (_checkpoint(cfg, level_step)
                 if _remat_level(cfg, do_remat, L * N,
                                 (n // 2) * (n - n // 2))
                 else level_step)
@@ -363,7 +377,7 @@ def outside_pass(
                 c_agg = normalize(cfg.normalize, c_agg)
             return h_agg, s_agg, c_agg, target_ok
 
-        step = (jax.checkpoint(level_step)
+        step = (_checkpoint(cfg, level_step)
                 if _remat_level(cfg, do_remat, N * L, n * (n - 1))
                 else level_step)
         h_agg, s_agg, c_agg, target_ok = step(

@@ -43,6 +43,7 @@ def model_config_from_options(options, embeddings) -> ModelConfig:
         else "float32",
         remat=getattr(options, "remat", False),
         remat_frac=getattr(options, "remat_frac", 0.0),
+        remat_policy=getattr(options, "remat_policy", "full"),
         remat_budget_gb=getattr(options, "remat_budget_gb", 10.0),
         parse_impl=getattr(options, "parse_impl", "xla"),
     )

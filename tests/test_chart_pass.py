@@ -151,11 +151,12 @@ def test_root_cell_convention():
 
 
 
-@pytest.mark.parametrize("remat_frac", [0.0, 0.6])
-def test_remat_grads_match(rng, remat_frac):
-    """cfg.remat (per-level jax.checkpoint; selective via remat_frac)
-    must be a pure memory/compute trade: losses and gradients identical
-    to the unremated path."""
+@pytest.mark.parametrize("remat_frac,policy",
+                         [(0.0, "full"), (0.6, "full"), (0.0, "dots")])
+def test_remat_grads_match(rng, remat_frac, policy):
+    """cfg.remat (per-level jax.checkpoint; selective via remat_frac,
+    residuals per remat_policy) must be a pure memory/compute trade:
+    losses and gradients identical to the unremated path."""
     import dataclasses
     from cliora_tpu.training.trainer import TrainConfig, compute_losses
     from cliora_tpu.models.params import init_params
@@ -163,7 +164,8 @@ def test_remat_grads_match(rng, remat_frac):
     V, R, F = 50, 3, 12
     cfg = ModelConfig(size=12, input_size=10, use_obj=True, n_regions=R,
                       obj_feat_size=F, attn_dropout=0.0)
-    cfg_r = dataclasses.replace(cfg, remat=True, remat_frac=remat_frac)
+    cfg_r = dataclasses.replace(cfg, remat=True, remat_frac=remat_frac,
+                                remat_policy=policy)
     tc = TrainConfig(lr=1e-3, k_neg=5, vg_loss=True, use_contr=True,
                      emb_trainable=True)
     params = init_params(jax.random.PRNGKey(0), cfg, V)

@@ -36,6 +36,15 @@ CONFIGS = [
     {"name": "accum_4", "remat": False, "remat_frac": 0.0, "accum": 4},
     {"name": "accum_2_remat_0.85", "remat": True, "remat_frac": 0.85,
      "accum": 2},
+    # 'dots' residual policy: matmul outputs saved, only gathers +
+    # elementwise recomputed -- more memory per checkpointed level than
+    # 'full', far less recompute.  Sweep remat_frac to find the fit edge.
+    {"name": "dots_frac_0.0", "remat": True, "remat_frac": 0.0,
+     "accum": 1, "policy": "dots"},
+    {"name": "dots_frac_0.5", "remat": True, "remat_frac": 0.5,
+     "accum": 1, "policy": "dots"},
+    {"name": "dots_frac_0.85", "remat": True, "remat_frac": 0.85,
+     "accum": 1, "policy": "dots"},
 ]
 
 
@@ -54,7 +63,8 @@ def run_one(spec: dict) -> dict:
 
     cfg = ModelConfig(size=D, input_size=E, use_obj=True, n_regions=R,
                       obj_feat_size=F, compute_dtype="bfloat16",
-                      remat=spec["remat"], remat_frac=spec["remat_frac"])
+                      remat=spec["remat"], remat_frac=spec["remat_frac"],
+                      remat_policy=spec.get("policy", "full"))
     tc = TrainConfig(lr=5e-4, k_neg=K, vg_loss=True, use_contr=True,
                      emb_trainable=True, attn_impl="pallas",
                      accum_steps=spec["accum"])
