@@ -61,11 +61,15 @@ def run_one(spec: dict) -> dict:
     from cliora_tpu.models.config import ModelConfig
     from cliora_tpu.training.trainer import TrainConfig, Trainer
 
-    cfg = ModelConfig(size=D, input_size=E, use_obj=True, n_regions=R,
+    text = spec.get("text", False)   # DIORA text pretrain (recon only):
+    # the config of the bucketed-envelope L<=40 bucket, where gradient
+    # accumulation is semantically exact (no batch-coupled losses)
+    cfg = ModelConfig(size=D, input_size=E, use_obj=not text, n_regions=R,
                       obj_feat_size=F, compute_dtype="bfloat16",
                       remat=spec["remat"], remat_frac=spec["remat_frac"],
                       remat_policy=spec.get("policy", "full"))
-    tc = TrainConfig(lr=5e-4, k_neg=K, vg_loss=True, use_contr=True,
+    tc = TrainConfig(lr=5e-4, k_neg=K, vg_loss=not text,
+                     use_contr=not text,
                      emb_trainable=True, attn_impl="pallas",
                      accum_steps=spec["accum"])
     trainer = Trainer.build(cfg, tc, V, seed=0)
