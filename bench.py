@@ -73,8 +73,8 @@ def main():
             "vs_baseline": 0.0,
             "error": "TPU tunnel unreachable (backend init blocks in its "
                      "connect-retry loop); benchmark not run",
-            "last_measured_on_tpu": 4356.06,
-            "last_measured_date": "2026-08-17",
+            "last_measured_on_tpu": 4418.96,
+            "last_measured_date": "2026-08-19",
         }))
         return
 
