@@ -59,6 +59,14 @@ def main():
                     help="full CLIORA step (visual losses); default is "
                          "the DIORA text pretrain envelope of "
                          "train_diora.sh")
+    ap.add_argument("--bucket_sizes", default=None,
+                    help="per-bucket batch sizes 'L:B,L:B,...' (padded "
+                         "bucket length -> batch size); lengths not "
+                         "listed keep --batch.  The production "
+                         "--length_to_size lever: short buckets are "
+                         "dispatch-floor-bound at B=128 and run ~2x "
+                         "the throughput at B=512 (text L=10 sweep, "
+                         "BASELINE.md round 4).")
     ap.add_argument("--remat", default="auto",
                     help="'auto' (default) | 'true' | 'false'")
     ap.add_argument("--remat_frac", default=0.85, type=float)
@@ -97,9 +105,23 @@ def main():
                for i, n in enumerate(lengths)]
     sampler = NegativeSampler(np.ones(V) / V)
     sampler.set_seed(1)
+    length_to_size = None
+    if args.bucket_sizes:
+        per_bucket_size = {int(k): int(v) for k, v in
+                           (p.split(":") for p in
+                            args.bucket_sizes.split(","))}
+        # map every exact length to its bucket's size so each padded
+        # bucket compiles exactly one (B, L) program
+        length_to_size, prev = {}, 0
+        for Lb in buckets:
+            sz = per_bucket_size.get(Lb, args.batch)
+            for n in range(prev + 1, Lb + 1):
+                length_to_size[n] = sz
+            prev = Lb
     it = BatchIterator(dataset, negative_sampler=sampler, k_neg=KNEG,
                        batch_size=args.batch, include_partial=False,
-                       length_buckets=buckets, prefetch=0)
+                       length_buckets=buckets, prefetch=0,
+                       length_to_size=length_to_size)
 
     # one real epoch: per padded-length batch counts + a representative
     # batch per bucket (shapes are identical within a bucket)
