@@ -20,20 +20,72 @@ import numpy as np
 from cliora_tpu.data.sampler import NegativeSampler
 
 
-def choose_buckets(lengths, n_buckets: int):
+def choose_buckets(lengths, n_buckets: int, policy: str = "quantile",
+                   floor_len: float = 10.0):
     """Pick <= n_buckets padded lengths covering the corpus.
 
-    Equal-mass quantiles over the example lengths, always including the
-    maximum, so frequent lengths pad little and the compile count drops
-    from #distinct-lengths to #buckets (the XLA-native replacement for
-    one-program-per-length, cliora/data/dataloader.py:11-113).
+    ``policy="quantile"``: equal-mass quantiles over the example lengths,
+    always including the maximum, so frequent lengths pad little and the
+    compile count drops from #distinct-lengths to #buckets (the XLA-native
+    replacement for one-program-per-length,
+    cliora/data/dataloader.py:11-113).
+
+    ``policy="work"``: exact DP minimizing modeled epoch *work* rather
+    than example mass.  A sentence padded to bucket edge E costs
+    ``floor_len**3 + E**3`` model units: the cubic term is the chart
+    pass's O(L^3) cell-pair work, the floor term the measured ~5 ms
+    per-step dispatch/host overhead expressed as an equivalent cubic
+    length (v5e: t(L) ~ 5ms + 0.0045ms*L^3 per B=128 step, BASELINE.md
+    bucketed-envelope table -> floor ~ (5/0.0045)^(1/3) ~ 10.3).
+    Quantile edges split where *examples* are dense (the short end, where
+    the dispatch floor makes extra buckets useless); work edges split
+    where *padded work* is wasted (the long tail, where one bucket edge
+    at the max makes mid-length sentences pay (max/L)^3 padding).
     """
     lengths = np.asarray(sorted(lengths))
     if len(lengths) == 0:
         return []
+    if policy == "work":
+        return _choose_buckets_work(lengths, n_buckets, floor_len)
+    if policy != "quantile":
+        raise ValueError(f"unknown bucket policy: {policy!r}")
     qs = np.linspace(0, 1, n_buckets + 1)[1:]
     idx = np.minimum((qs * len(lengths)).astype(int), len(lengths) - 1)
     return sorted(set(int(lengths[i]) for i in idx))
+
+
+def _choose_buckets_work(sorted_lengths, n_buckets: int, floor_len: float):
+    """Optimal bucket edges under cost(bucket) = count * (F^3 + edge^3).
+
+    O(m^2 * n_buckets) DP over the m distinct lengths (m <= max length,
+    so ~40 for the reference envelope).  Edges are always existing
+    lengths (an edge between observed lengths only adds padding) and the
+    max length is always an edge.
+    """
+    vals, counts = np.unique(np.asarray(sorted_lengths), return_counts=True)
+    m = len(vals)
+    if m <= n_buckets:
+        return [int(v) for v in vals]
+    w = floor_len ** 3 + vals.astype(np.float64) ** 3  # per-sentence cost
+    csum = np.concatenate([[0.0], np.cumsum(counts.astype(np.float64))])
+    INF = float("inf")
+    # dp[j] = min cost covering distinct lengths [0, j) with k buckets
+    dp = np.full(m + 1, INF)
+    dp[0] = 0.0
+    back = np.zeros((n_buckets + 1, m + 1), np.int64)
+    for k in range(1, n_buckets + 1):
+        ndp = np.full(m + 1, INF)
+        for j in range(1, m + 1):
+            # bucket = lengths (i, j], padded to vals[j-1]
+            costs = dp[:j] + (csum[j] - csum[:j]) * w[j - 1]
+            i = int(np.argmin(costs))
+            ndp[j], back[k, j] = costs[i], i
+        dp = ndp
+    edges, j, k = [], m, n_buckets
+    while j > 0:
+        edges.append(int(vals[j - 1]))
+        j, k = back[k, j], k - 1
+    return sorted(set(edges))
 
 
 def bucket_for(buckets, length: int) -> int:

@@ -161,7 +161,8 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
             lens = [len(s) for s in sentences
                     if not filter_length or len(s) <= filter_length]
             length_buckets = choose_buckets(
-                lens, options.n_length_buckets)
+                lens, options.n_length_buckets,
+                policy=getattr(options, "bucket_policy", "work"))
 
     negative_sampler = NegativeSampler(
         freq_dist=calculate_freq_dist(sentences, len(word2idx)),

@@ -135,6 +135,11 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_length_buckets", default=0, type=int,
                    help="auto-pick this many length buckets from the "
                         "corpus length histogram (0 = off).")
+    p.add_argument("--bucket_policy", default="work",
+                   choices=("work", "quantile"),
+                   help="how --n_length_buckets picks edges: 'work' = DP "
+                        "minimizing padded chart work (splits the long "
+                        "tail), 'quantile' = equal example mass.")
     p.add_argument("--train_dataset_size", default=None, type=int)
     p.add_argument("--validation_dataset_size", default=None, type=int)
     p.add_argument("--validation_batch_size", default=None, type=int)

@@ -181,6 +181,39 @@ def test_choose_buckets_and_bucket_for():
     assert bucket_for(buckets, 12) == 12
 
 
+def test_choose_buckets_work_policy():
+    """The work DP (a) covers the max, (b) returns existing lengths,
+    (c) never models worse than quantile edges, (d) splits a long tail
+    that quantile leaves as one bucket, (e) degrades to the exact
+    lengths when n_buckets >= #distinct."""
+    from cliora_tpu.data.batching import bucket_for, choose_buckets
+
+    rs = np.random.RandomState(7)
+    lens = np.clip(np.round(np.exp(rs.normal(2.45, 0.45, 5000))), 5,
+                   40).astype(int).tolist()
+
+    def modeled(edges, floor=10.0):
+        return sum(floor ** 3 + bucket_for(edges, n) ** 3 for n in lens)
+
+    for n in (3, 6, 10):
+        q = choose_buckets(lens, n, policy="quantile")
+        w = choose_buckets(lens, n, policy="work")
+        assert w[-1] == max(lens)
+        assert len(w) <= n
+        assert set(w) <= set(lens)
+        assert w == sorted(w)
+        assert modeled(w) <= modeled(q)
+    # tail split: quantile-10's last gap spans most of the range; the
+    # work edges cut the worst-case padding ratio in the tail
+    q10 = choose_buckets(lens, 10, policy="quantile")
+    w10 = choose_buckets(lens, 10, policy="work")
+    gap = lambda e: max(b / a for a, b in zip([min(lens)] + e[:-1], e))
+    assert gap(w10) < gap(q10)
+    assert choose_buckets([4, 4, 9], 5, policy="work") == [4, 9]
+    with pytest.raises(ValueError):
+        choose_buckets(lens, 3, policy="nope")
+
+
 def test_bucketed_training_matches_unbucketed(rng):
     """Same corpus, same seeds: the bucketed run compiles fewer programs
     but steps through the SAME batches with the SAME losses."""

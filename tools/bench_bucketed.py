@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--min_len", default=5, type=int)
     ap.add_argument("--max_len", default=40, type=int)
     ap.add_argument("--n_buckets", default=4, type=int)
+    ap.add_argument("--bucket_policy", default="quantile",
+                    choices=("quantile", "work"))
     ap.add_argument("--sentences", default=20000, type=int,
                     help="epoch size used for the bucket-mass weights")
     ap.add_argument("--steps_per_call", default=10, type=int)
@@ -96,7 +98,8 @@ def main():
     rs = np.random.RandomState(0)
     lengths = sample_lengths(args.sentences, args.min_len, args.max_len,
                              rs)
-    buckets = choose_buckets(lengths, args.n_buckets)
+    buckets = choose_buckets(lengths, args.n_buckets,
+                             policy=args.bucket_policy)
 
     # the production data path: real dataset rows -> same-length sampler
     # -> bucket padding + lengths vectors (masked bucketing)
