@@ -46,6 +46,33 @@ def test_padded_partial_batches():
         assert len(bm["example_ids"]) == 4
 
 
+def test_padded_partial_batches_with_buckets():
+    """pad_batches + include_partial + length_buckets compose: every
+    emitted batch has shape (batch_size, bucket_edge) — the bounded
+    compile set production training relies on — with real_size and the
+    true-lengths vector intact."""
+    sentences = ([[1, 2, 3]] * 5 + [[1, 2, 3, 4, 5]] * 3
+                 + [[1, 2, 3, 4, 5, 6, 7]] * 2)
+    it = BatchIterator(SimpleDataset(sentences),
+                       extra={"example_ids": list(range(10))},
+                       batch_size=4, include_partial=True,
+                       pad_batches=True, length_buckets=[4, 8])
+    batches = list(it.get_iterator(random_seed=0))
+    assert {bm["sentences"].shape for bm in batches} <= {(4, 4), (4, 8)}
+    seen = []
+    for bm in batches:
+        assert bm["padded_length"] in (4, 8)
+        assert bm["lengths"].shape == (4,)
+        true_len = int(bm["lengths"][0])
+        assert (bm["lengths"] == true_len).all()
+        assert bm["length"] == true_len
+        assert true_len <= bm["padded_length"]
+        # pad columns beyond the true length are zeros
+        assert (bm["sentences"][:, true_len:] == 0).all()
+        seen += bm["example_ids"][:bm["real_size"]]
+    assert sorted(seen) == list(range(10))  # every example trains once
+
+
 def test_word_grounding_baseline(rng):
     import jax.numpy as jnp
     from cliora_tpu.models.word_grounding import word_grounding_forward
