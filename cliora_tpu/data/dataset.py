@@ -160,9 +160,14 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
             from cliora_tpu.data.batching import choose_buckets
             lens = [len(s) for s in sentences
                     if not filter_length or len(s) <= filter_length]
+            policy = getattr(options, "bucket_policy", "work")
             length_buckets = choose_buckets(
-                lens, options.n_length_buckets,
-                policy=getattr(options, "bucket_policy", "work"))
+                lens, options.n_length_buckets, policy=policy,
+                floor_len=getattr(options, "bucket_floor_len", 10.0))
+            from cliora_tpu.utils.observability import get_logger
+            get_logger().info(
+                f"length buckets ({policy}): {length_buckets} "
+                f"(one compiled program per bucket)")
 
     negative_sampler = NegativeSampler(
         freq_dist=calculate_freq_dist(sentences, len(word2idx)),

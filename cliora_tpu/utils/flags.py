@@ -140,6 +140,10 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="how --n_length_buckets picks edges: 'work' = DP "
                         "minimizing padded chart work (splits the long "
                         "tail), 'quantile' = equal example mass.")
+    p.add_argument("--bucket_floor_len", default=10.0, type=float,
+                   help="work-policy cost model: per-step overhead as an "
+                        "equivalent cubic length (v5e B=128: t(L) ~ 5ms "
+                        "+ 0.0045ms*L^3 -> ~10).")
     p.add_argument("--train_dataset_size", default=None, type=int)
     p.add_argument("--validation_dataset_size", default=None, type=int)
     p.add_argument("--validation_batch_size", default=None, type=int)
