@@ -57,6 +57,13 @@ class ModelConfig:
     #           einsums.  ~2 stored (rows, D) copies per level vs ~5.6
     #           unremated vs ~0 for 'full' -- the middle point of the
     #           memory/recompute trade (measured L=40 table, BASELINE.md).
+    #   'gathers': everything EXCEPT the chart-child gathers (tagged
+    #           CHILD_RESIDS in ops/chart_pass.py) is saved
+    #           (save_anything_except_these_names).  MEASURED NEGATIVE
+    #           at L=40 B=128: 27.3 GB vs 18.2 unremated -- the policy
+    #           keeps redundant elementwise residuals (pre-act + relu
+    #           mask + broadcast) and the compose concat (BASELINE.md
+    #           round-4 grid).  Kept for grid reproducibility.
     remat_policy: str = "full"
     # 'soft': softmax-weighted split aggregation (DIORA); 'hard': argmax
     # split only (the S-DIORA greedy variant -- selectable but never
@@ -78,5 +85,6 @@ class ModelConfig:
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.aggregate in ("soft", "hard"), self.aggregate
         assert self.remat in (True, False, "auto"), self.remat
-        assert self.remat_policy in ("full", "dots"), self.remat_policy
+        assert self.remat_policy in ("full", "dots", "gathers"), \
+            self.remat_policy
         assert self.parse_impl in ("auto", "xla", "pallas"), self.parse_impl

@@ -53,7 +53,7 @@ def compute_dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
-def _take(x, idx, axis=1):
+def _take(x, idx, axis=1, name=None):
     """Chart gather with baked constant indices.
 
     Every chart index is built host-side from the span algebra
@@ -61,9 +61,24 @@ def _take(x, idx, axis=1):
     brute-force enumeration tests), so ``promise_in_bounds`` lets XLA skip
     the clamp in the gather AND in its transpose scatter-add -- the chart
     scatters are ~2.6 ms of the 29.4 ms production step (profile,
-    BASELINE.md round 3)."""
+    BASELINE.md round 3).
+
+    ``name``: checkpoint-name tag (see CHILD_RESIDS) so the 'gathers'
+    remat policy can recompute this gather in the backward instead of
+    storing its (B, rows, D) result."""
     assert axis == 1
-    return x.at[:, idx].get(mode="promise_in_bounds")
+    out = x.at[:, idx].get(mode="promise_in_bounds")
+    if name is not None:
+        out = jax.ad_checkpoint.checkpoint_name(out, name)
+    return out
+
+
+# Residual tag for the 'gathers' remat policy: the per-level chart-child
+# gathers (lh/rh inside, ph/sh outside) and the compose concat.  The tag
+# does exclude the gathers from the residual set (verified with
+# print_saved_residuals), but the policy is a measured NEGATIVE overall
+# -- see _checkpoint below.
+CHILD_RESIDS = "chart_children"
 
 
 # Calibrated stored-activation copy factor for the auto-remat estimate:
@@ -102,11 +117,22 @@ def _checkpoint(cfg: ModelConfig, fn):
     'full' stores nothing beyond the level inputs; 'dots' additionally
     saves dot_general outputs (compose fc0/fc1, bilinear) so the backward
     recomputes only gathers + elementwise -- the middle point of the
-    memory/recompute trade (see ModelConfig.remat_policy).
+    memory/recompute trade; 'gathers' saves everything EXCEPT the
+    CHILD_RESIDS-tagged chart gathers, recomputing those from the charts.
+    Both non-'full' policies are MEASURED NEGATIVES at the L=40 B=128
+    envelope (BASELINE.md round-4 grid): 'gathers' needs 27.3 GB --
+    save-anything-except keeps redundant elementwise residuals (pre-act,
+    relu mask, broadcast -- verified with print_saved_residuals) and the
+    compose concat, inflating storage past even the unremated 18.2 GB.
     """
     if cfg.remat_policy == "dots":
         return jax.checkpoint(
             fn, policy=jax.checkpoint_policies.dots_saveable)
+    if cfg.remat_policy == "gathers":
+        return jax.checkpoint(
+            fn,
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                CHILD_RESIDS))
     return jax.checkpoint(fn)
 
 
@@ -150,8 +176,8 @@ def _compose(cfg: ModelConfig, cp, lh, rh, lc, rc):
     # dtype (see inside_pass), so no f32 round-trip is materialized on the
     # (B, L*N, D) composed tensor -- the convert_element_type traffic was
     # ~12 ms/step of the bf16 B=128 L=20 D=400 train step before this
-    return compose_mlp(cp, lh, rh, compute_dtype=dtype,
-                       out_dtype=dtype), None
+    return compose_mlp(cp, lh, rh, compute_dtype=dtype, out_dtype=dtype,
+                       residual_name=CHILD_RESIDS), None
 
 
 def inside_pass(
@@ -200,8 +226,9 @@ def inside_pass(
 
         def level_step(inside_h, inside_s, inside_c, obj, lrng,
                        idx_l=idx_l, idx_r=idx_r, L=L, N=N):
-            lh = _take(inside_h, idx_l, axis=1)   # (B, L*N, D)
-            rh = _take(inside_h, idx_r, axis=1)
+            lh = _take(inside_h, idx_l, axis=1,
+                       name=CHILD_RESIDS)         # (B, L*N, D)
+            rh = _take(inside_h, idx_r, axis=1, name=CHILD_RESIDS)
             lc = _take(inside_c, idx_l, axis=1) if use_c else None
             rc = _take(inside_c, idx_r, axis=1) if use_c else None
 
@@ -357,8 +384,9 @@ def outside_pass(
         def level_step(outside_h, outside_s, outside_c, inside_h,
                        inside_s, inside_c, par_idx=par_idx,
                        sis_idx=sis_idx, level=level, L=L, N=N):
-            ph = _take(outside_h, par_idx, axis=1)    # (B, N*L, D)
-            sh = _take(inside_h, sis_idx, axis=1)
+            ph = _take(outside_h, par_idx, axis=1,
+                       name=CHILD_RESIDS)             # (B, N*L, D)
+            sh = _take(inside_h, sis_idx, axis=1, name=CHILD_RESIDS)
             pc = _take(outside_c, par_idx, axis=1) if use_c else None
             sc = _take(inside_c, sis_idx, axis=1) if use_c else None
 

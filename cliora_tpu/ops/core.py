@@ -11,6 +11,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 TINY = 1e-8
 
@@ -52,7 +53,7 @@ def leaf_mlp(cp, x):
 
 
 def compose_mlp(cp, left_h, right_h, compute_dtype=jnp.float32,
-                out_dtype=jnp.float32):
+                out_dtype=jnp.float32, residual_name=None):
     """Two-layer ReLU MLP over the concatenated children.
 
     ``h = relu(W2 relu(W1 [l; r] + b1) + b2)``
@@ -61,8 +62,16 @@ def compose_mlp(cp, left_h, right_h, compute_dtype=jnp.float32,
     ``out_dtype``: callers that keep their charts in the compute dtype
     (ops/chart_pass.py with bf16 storage) pass ``compute_dtype`` here so
     no f32 round-trip is materialized between levels.
+
+    ``residual_name``: checkpoint-name tag on the (rows, 2D) concat for
+    the named remat policy (ops/chart_pass.py remat_policy='gathers').
+    Note the tag does NOT stop the concat being stored: partial eval
+    saves the pre-name concat output for fc0's weight gradient anyway
+    (part of why that policy measured negative, BASELINE.md).
     """
     x = jnp.concatenate([left_h, right_h], axis=-1).astype(compute_dtype)
+    if residual_name is not None:
+        x = checkpoint_name(x, residual_name)
     h = jax.nn.relu(linear(jax.tree.map(lambda t: t.astype(compute_dtype), cp["fc0"]), x))
     h = jax.nn.relu(linear(jax.tree.map(lambda t: t.astype(compute_dtype), cp["fc1"]), h))
     return h.astype(out_dtype)

@@ -186,14 +186,17 @@ def argument_parser() -> argparse.ArgumentParser:
                         "per chip; update math unchanged -- GSPMD "
                         "inserts the reduce-scatter/all-gather).")
     p.add_argument("--remat_policy", default="full",
-                   choices=("full", "dots"),
+                   choices=("full", "dots", "gathers"),
                    help="what a checkpointed level keeps for its "
                         "backward: 'full' stores only the level inputs "
                         "and recomputes the whole forward; 'dots' also "
                         "saves matmul outputs (jax.checkpoint_policies."
                         "dots_saveable) so the backward recomputes only "
                         "gathers + elementwise -- more memory than "
-                        "'full', far less recompute.")
+                        "'full', far less recompute; 'gathers' saves "
+                        "everything EXCEPT the chart-child gathers "
+                        "(measured negative at L=40: stores MORE than "
+                        "unremated, see BASELINE.md round-4 grid).")
     p.add_argument("--remat_frac", default=0.0, type=float,
                    help="with --remat, only checkpoint levels whose "
                         "intermediates are >= this fraction of the "

@@ -152,7 +152,8 @@ def test_root_cell_convention():
 
 
 @pytest.mark.parametrize("remat_frac,policy",
-                         [(0.0, "full"), (0.6, "full"), (0.0, "dots")])
+                         [(0.0, "full"), (0.6, "full"), (0.0, "dots"),
+                          (0.0, "gathers")])
 def test_remat_grads_match(rng, remat_frac, policy):
     """cfg.remat (per-level jax.checkpoint; selective via remat_frac,
     residuals per remat_policy) must be a pure memory/compute trade:

@@ -45,6 +45,15 @@ CONFIGS = [
      "accum": 1, "policy": "dots"},
     {"name": "dots_frac_0.85", "remat": True, "remat_frac": 0.85,
      "accum": 1, "policy": "dots"},
+    # 'gathers' residual policy: everything saved EXCEPT the chart-child
+    # gathers (ops/chart_pass.py CHILD_RESIDS).  MEASURED NEGATIVE
+    # 2026-08-19: OOM at 27.3 GB (worse than unremated 18.2) -- the
+    # save-anything-except policy keeps redundant elementwise residuals
+    # (pre-act + relu mask + broadcast) and the compose concat.
+    {"name": "gathers_frac_0.0", "remat": True, "remat_frac": 0.0,
+     "accum": 1, "policy": "gathers"},
+    {"name": "gathers_text", "remat": True, "remat_frac": 0.0,
+     "accum": 1, "policy": "gathers", "text": True},
 ]
 
 
