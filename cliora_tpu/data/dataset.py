@@ -169,6 +169,35 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
                 f"length buckets ({policy}): {length_buckets} "
                 f"(one compiled program per bucket)")
 
+    # --bucket_sizes 'edge:B,...': per-BUCKET batch sizes, expanded to
+    # every exact length inside the bucket so each padded bucket still
+    # compiles exactly one (B, L) program.  Explicit --length_to_size
+    # entries (exact length -> size) take precedence.  Produced by
+    # tools/autotune_buckets.py; the production form of the reference's
+    # length_to_size dict (cliora/data/dataloader.py:27-38).
+    bucket_sizes = getattr(options, "bucket_sizes", None)
+    if bucket_sizes and length_buckets and mode == "train":
+        per_bucket = {int(a): int(b) for a, b in
+                      (p.split(":") for p in str(bucket_sizes).split(","))}
+        unknown = set(per_bucket) - set(int(b) for b in length_buckets)
+        if unknown:
+            raise ValueError(
+                f"--bucket_sizes names non-bucket edges {sorted(unknown)}; "
+                f"buckets are {list(length_buckets)}")
+        if batch_size is None:
+            raise ValueError("--bucket_sizes needs an explicit batch size")
+        # length_to_size is a sticky step function in the sampler
+        # (reference semantics, FixedLengthBatchSampler.get_batch_size),
+        # so uncovered buckets are explicitly reset to the default.
+        expanded, prev = {}, 0
+        for edge in length_buckets:
+            sz = per_bucket.get(edge, batch_size)
+            for n in range(prev + 1, edge + 1):
+                expanded[n] = sz
+            prev = edge
+        expanded.update(length_to_size or {})
+        length_to_size = expanded
+
     negative_sampler = NegativeSampler(
         freq_dist=calculate_freq_dist(sentences, len(word2idx)),
         dist_power=getattr(options, "freq_dist_power", 0.75))

@@ -140,6 +140,15 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="how --n_length_buckets picks edges: 'work' = DP "
                         "minimizing padded chart work (splits the long "
                         "tail), 'quantile' = equal example mass.")
+    p.add_argument("--bucket_sizes", default=None, type=str,
+                   help="per-bucket batch sizes 'edge:B,...' (padded "
+                        "bucket length -> batch size); buckets not "
+                        "listed keep --batch_size.  Short buckets are "
+                        "dispatch-floor-bound and run up to ~2.5x the "
+                        "per-sentence throughput at B=512 (BASELINE.md "
+                        "round 4).  NOTE: changes the SGD batch at "
+                        "those lengths (not reference-parity dynamics)."
+                        "  Tune with tools/autotune_buckets.py.")
     p.add_argument("--bucket_floor_len", default=10.0, type=float,
                    help="work-policy cost model: per-step overhead as an "
                         "equivalent cubic length (v5e B=128: t(L) ~ 5ms "

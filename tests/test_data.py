@@ -296,3 +296,37 @@ def test_indexify_unk():
     assert indexify([["a", "zz"]], w2i, 2) == [[0, 2]]
     with pytest.raises(ValueError):
         indexify([["zz"]], {"a": 0}, None)
+
+
+def test_bucket_sizes_cli_expansion():
+    """--bucket_sizes 'edge:B' expands to every exact length in the
+    bucket (one compiled (B, L) program per bucket), leaves other
+    buckets at the default batch size, errors on non-bucket edges, and
+    lets explicit --length_to_size entries win."""
+    sents = [[f"w{j}" for j in range(n)]
+             for n in (3, 3, 3, 3, 5, 5, 5, 5, 8, 8, 8, 8)]
+    vocab = sorted({w for s in sents for w in s})
+    dset = {"sentences": [[i % len(vocab) for i in range(len(s))]
+                          for s in sents],
+            "word2idx": {w: i for i, w in enumerate(vocab)},
+            "extra": {}}
+    opt = Opt(length_buckets="5,8", bucket_sizes="5:4")
+    it = make_batch_iterator(opt, dset, batch_size=2)
+    sizes = {}
+    for bm in it.get_iterator(random_seed=0):
+        sizes.setdefault(bm["padded_length"], set()).add(bm["batch_size"])
+    # lengths 3 and 5 share the L<=5 bucket: both upsized to 4
+    assert sizes[5] == {4}
+    assert sizes[8] == {2}
+
+    # explicit length_to_size wins over the bucket expansion
+    it = make_batch_iterator(Opt(length_buckets="5,8", bucket_sizes="5:4"),
+                             dset, batch_size=2, length_to_size={3: 2})
+    sizes = {}
+    for bm in it.get_iterator(random_seed=0):
+        sizes.setdefault(bm["padded_length"], set()).add(bm["batch_size"])
+    assert sizes[5] == {2, 4}   # len-3 batches stay at 2, len-5 at 4
+
+    with pytest.raises(ValueError, match="non-bucket edges"):
+        make_batch_iterator(Opt(length_buckets="5,8", bucket_sizes="6:4"),
+                            dset, batch_size=2)
