@@ -66,11 +66,18 @@ def run_eval(trainer, iterator, seed: int = 11,
         res, _ = trainer.parse(batch_map, compute_loss=False,
                                outside=use_obj)
         real = batch_map.get("real_size", batch_map["batch_size"])
+        # ragged (mixed-bucket) batches carry per-example lengths;
+        # uniform batches share the scalar true length
+        lens = batch_map.get("lengths")
+        lens = (np.full(real, length, np.int32) if lens is None
+                else np.asarray(lens[:real], np.int32))
 
         if use_obj and "atten_score" in res:
             targets = batch_map["VG_GT"]
             boxes = np.asarray(batch_map["boxes"])
             for bid in range(real):
+                if lens[bid] <= 2:
+                    continue  # reference skip, per row when ragged
                 phrases, _noun_mask = targets[bid]
                 if not phrases:
                     continue
@@ -84,9 +91,12 @@ def run_eval(trainer, iterator, seed: int = 11,
         gt = batch_map.get("GT")
         if "cky_bp" in res and gt is not None:
             # cky_bp absent for the chart-free --arch word
-            for bid, (tree, pred_spans) in enumerate(
-                    eval_batch_trees(res["cky_bp"][:real], length,
-                                     batch_map.get("padded_length"))):
+            n = batch_map.get("padded_length") or length
+            for bid, (tree, spans) in enumerate(
+                    decode_batch(res["cky_bp"][:real], n, lens)):
+                if lens[bid] <= 2:
+                    continue  # reference skip, per row when ragged
+                pred_spans = set(spans[:-1])  # drop root (train.py:187)
                 gold_spans = set(gt[bid][:-1])
                 f1.update(pred_spans, gold_spans)
 
@@ -101,7 +111,7 @@ def run_eval(trainer, iterator, seed: int = 11,
                           grounding.ccr], np.float64)
         tot = np.asarray(
             multihost_utils.process_allgather(vec)).sum(axis=0)
-        tp, fp, fn, sent_sum, sent_n, g_tot, g_rec, _ = tot
+        tp, fp, fn, sent_sum, sent_n, g_tot, g_rec, g_ccr = tot
         prec = tp / max(tp + fp, 1.0)
         reca = tp / max(tp + fn, 1.0)
         return {
@@ -109,9 +119,11 @@ def run_eval(trainer, iterator, seed: int = 11,
                           else 2 * prec * reca / (prec + reca)),
             "sent_f1": float(sent_sum / sent_n) if sent_n else 0.0,
             "grounding_acc": float(g_rec / (g_tot + 1e-8)),
+            "ccra": float(g_ccr / (g_tot + 1e-8)),
         }
     return {
         "corpus_f1": f1.corpus_f1,
         "sent_f1": f1.sent_f1,
         "grounding_acc": grounding.recall,
+        "ccra": grounding.ccra,
     }

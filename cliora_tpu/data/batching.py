@@ -151,6 +151,71 @@ class FixedLengthBatchSampler:
             yield length_map[length][start:start + size]
 
 
+class BucketBatchSampler(FixedLengthBatchSampler):
+    """Mixed-length batches within length buckets.
+
+    Where :class:`FixedLengthBatchSampler` groups examples by *exact*
+    token length (reference: cliora/data/dataloader.py:11-113), this
+    sampler groups them by their covering bucket edge
+    (:func:`bucket_for`) and fills every batch with mixed true lengths;
+    rows are padded to the edge downstream and the model consumes the
+    per-example ``lengths`` vector (the per-example masks in
+    ops/chart_pass.py / training/losses.py were built for exactly this).
+
+    This removes the two structural losses of exact grouping measured
+    in BASELINE.md's envelope table: examples of rare lengths are
+    dropped entirely when no exact length musters a full batch (at
+    B=128 on the caption mix, *every* sentence of length >= 30), and
+    each length's surplus is wasted (or shape-churned) per epoch.
+
+    ``min_length`` drops too-short examples at composition time: the
+    reference skips length<=2 *batches* in its train/eval loops
+    (cliora/scripts/train.py:80-81,153-154), which a per-batch filter
+    cannot express once lengths are mixed.
+
+    Yields ``(edge, [example indices])`` pairs -- the edge is part of
+    the contract because the padded width must be the bucket edge even
+    when every sampled row is shorter (one compiled program per bucket,
+    never per observed-max).
+    """
+
+    def __init__(self, lengths, buckets, batch_size, include_partial=False,
+                 rng=None, maxlen=None, length_to_size=None, min_length=3):
+        super().__init__(lengths, batch_size,
+                         include_partial=include_partial, rng=rng,
+                         maxlen=maxlen, length_to_size=length_to_size)
+        assert buckets, "BucketBatchSampler needs length buckets"
+        self.buckets = sorted(int(b) for b in buckets)
+        self.min_length = min_length
+
+    def __iter__(self):
+        bucket_map: Dict[int, list] = {}
+        for i, length in enumerate(self.lengths):
+            if self.maxlen and length > self.maxlen:
+                continue
+            if self.min_length and length < self.min_length:
+                continue
+            bucket_map.setdefault(
+                bucket_for(self.buckets, length), []).append(i)
+        for arr in bucket_map.values():
+            self.rng.shuffle(arr)
+
+        order = []
+        position = {edge: 0 for edge in bucket_map}
+        for edge, arr in bucket_map.items():
+            size = self.get_batch_size(edge)
+            order += [edge] * (len(arr) // size)
+            if self.include_partial and len(arr) % size:
+                order += [edge]
+        self.rng.shuffle(order)
+
+        for edge in order:
+            size = self.get_batch_size(edge)
+            start = position[edge]
+            position[edge] = start + size
+            yield edge, bucket_map[edge][start:start + size]
+
+
 class BatchIterator:
     """Assembles batch_maps from a dataset + sampler.
 
@@ -165,7 +230,8 @@ class BatchIterator:
             include_partial: bool = False, filter_length: Optional[int] = None,
             length_to_size=None, process_index: int = 0,
             process_count: int = 1, prefetch: int = 4,
-            pad_batches: bool = False, length_buckets=None):
+            pad_batches: bool = False, length_buckets=None,
+            mixed_buckets: bool = False):
         self.dataset = dataset
         self.extra = extra or {}
         self.negative_sampler = negative_sampler
@@ -191,6 +257,11 @@ class BatchIterator:
         # run while XLA compiles one program per bucket, not per length.
         self.length_buckets = (sorted(length_buckets)
                                if length_buckets else None)
+        # Mixed composition: batches hold mixed TRUE lengths from one
+        # bucket (BucketBatchSampler) instead of one exact length.
+        if mixed_buckets and not self.length_buckets:
+            raise ValueError("mixed_buckets requires length_buckets")
+        self.mixed_buckets = mixed_buckets
         self.word2idx = None  # set by make_batch_iterator
 
     # -- reference-parity introspection helpers (batch_iterator.py:68-80) --
@@ -208,7 +279,7 @@ class BatchIterator:
                 f"minlen={self.get_dataset_minlen()} "
                 f"maxlen={self.get_dataset_maxlen()}")
 
-    def _assemble(self, batch_index, target_size=None):
+    def _assemble(self, batch_index, target_size=None, edge=None):
         real_size = len(batch_index)
         if (self.pad_batches and target_size is not None
                 and real_size < target_size):
@@ -217,7 +288,16 @@ class BatchIterator:
             batch_index = list(batch_index) + reps
         rows = [self.dataset[i] for i in batch_index]
         index, sents, obj_feats, boxes, obj_cates = zip(*rows)
-        sentences = np.asarray(sents, dtype=np.int32)
+        if edge is not None:
+            # mixed-bucket path: rows carry DIFFERENT true lengths; each
+            # pads to the bucket edge (the compiled program's width) and
+            # the per-example ``lengths`` vector drives the model masks
+            lens = np.asarray([len(s) for s in sents], np.int32)
+            sentences = np.zeros((len(sents), int(edge)), np.int32)
+            for r, s in enumerate(sents):
+                sentences[r, :len(s)] = s
+        else:
+            sentences = np.asarray(sents, dtype=np.int32)
         batch_map = {
             "index": list(index),
             "sentences": sentences,
@@ -225,7 +305,9 @@ class BatchIterator:
             "boxes": np.asarray(boxes),
             "obj_cates": np.asarray(obj_cates),
         }
-        if self.length_buckets is not None:
+        if edge is not None:
+            batch_map["lengths"] = lens
+        elif self.length_buckets is not None:
             true_len = sentences.shape[1]
             padded_len = bucket_for(self.length_buckets, true_len)
             if padded_len > true_len:
@@ -252,10 +334,11 @@ class BatchIterator:
         B, L = batch_map["sentences"].shape
         batch_map["batch_size"] = B
         batch_map["real_size"] = min(real_size, B)
-        # "length" stays the TRUE sentence length (uniform per batch) so
-        # decode/eval consumers are bucket-agnostic; the padded array
-        # width is "padded_length".
-        batch_map["length"] = (int(batch_map["lengths"][0])
+        # "length" stays the TRUE sentence length so decode/eval consumers
+        # are bucket-agnostic; the padded array width is "padded_length".
+        # Mixed-bucket batches hold several true lengths -- "length" is
+        # the max (consumers needing per-example truth use "lengths").
+        batch_map["length"] = (int(batch_map["lengths"].max())
                                if "lengths" in batch_map else L)
         batch_map["padded_length"] = L
         if self.negative_sampler is not None:
@@ -266,19 +349,43 @@ class BatchIterator:
     def get_iterator(self, random_seed=None, **kwargs):
         batch_size = kwargs.get("batch_size", self.batch_size)
         rng = np.random.RandomState(random_seed)
+        if random_seed is not None and self.negative_sampler is not None:
+            # deterministic per-epoch negative draws: epoch k of a
+            # --resume'd run sees the same negatives as epoch k of the
+            # uninterrupted run (the reference draws from un-reseeded
+            # global numpy state and is not resume-reproducible,
+            # cliora/data/batch_iterator.py:147-160)
+            self.negative_sampler.set_seed(random_seed)
         lengths = [len(self.dataset[i][1])
                    for i in range(len(self.dataset))]
-        sampler = FixedLengthBatchSampler(
-            lengths, batch_size=batch_size, rng=rng,
-            maxlen=self.filter_length,
-            include_partial=kwargs.get("include_partial",
-                                       self.include_partial),
-            length_to_size=self.length_to_size)
+        include_partial = kwargs.get("include_partial",
+                                     self.include_partial)
+        if self.mixed_buckets:
+            mixed_sampler = BucketBatchSampler(
+                lengths, self.length_buckets, batch_size=batch_size,
+                rng=rng, maxlen=self.filter_length,
+                include_partial=include_partial,
+                length_to_size=self.length_to_size)
 
-        def assemble(batch_index):
-            target = sampler.get_batch_size(
-                lengths[batch_index[0]]) if batch_index else None
-            return self._assemble(batch_index, target_size=target)
+            def assemble(item):
+                edge, batch_index = item
+                target = (mixed_sampler.get_batch_size(edge)
+                          if batch_index else None)
+                return self._assemble(batch_index, target_size=target,
+                                      edge=edge)
+
+            sampler = mixed_sampler
+        else:
+            sampler = FixedLengthBatchSampler(
+                lengths, batch_size=batch_size, rng=rng,
+                maxlen=self.filter_length,
+                include_partial=include_partial,
+                length_to_size=self.length_to_size)
+
+            def assemble(batch_index):
+                target = sampler.get_batch_size(
+                    lengths[batch_index[0]]) if batch_index else None
+                return self._assemble(batch_index, target_size=target)
 
         if self.prefetch <= 0:
             for batch_index in sampler:

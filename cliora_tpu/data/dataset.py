@@ -155,7 +155,10 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
     if length_buckets is None and mode == "train":
         explicit = getattr(options, "length_buckets", None)
         if explicit:
-            length_buckets = [int(x) for x in str(explicit).split(",")]
+            # normalized to ascending order: downstream consumers
+            # (--bucket_sizes expansion below, bucket_for) assume it
+            length_buckets = sorted(
+                int(x) for x in str(explicit).split(","))
         elif getattr(options, "n_length_buckets", 0):
             from cliora_tpu.data.batching import choose_buckets
             lens = [len(s) for s in sentences
@@ -190,7 +193,7 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
         # (reference semantics, FixedLengthBatchSampler.get_batch_size),
         # so uncovered buckets are explicitly reset to the default.
         expanded, prev = {}, 0
-        for edge in length_buckets:
+        for edge in sorted(int(b) for b in length_buckets):
             sz = per_bucket.get(edge, batch_size)
             for n in range(prev + 1, edge + 1):
                 expanded[n] = sz
@@ -221,6 +224,10 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
     # stay whole: eval runs per-process-local on the chief over the FULL
     # validation set (scripts/train.py run_train).
     chunked = mode == "train"
+    mixed = bool(getattr(options, "mixed_buckets", False)) and chunked
+    if mixed and not length_buckets:
+        raise ValueError("--mixed_buckets requires --length_buckets or "
+                         "--n_length_buckets")
     it = BatchIterator(
         dataset, extra=extra, negative_sampler=negative_sampler,
         k_neg=getattr(options, "k_neg", 100),
@@ -231,6 +238,7 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
         process_index=jax.process_index() if chunked else 0,
         process_count=jax.process_count() if chunked else 1,
         pad_batches=pad_batches,
-        length_buckets=length_buckets)
+        length_buckets=length_buckets,
+        mixed_buckets=mixed)
     it.word2idx = word2idx
     return it

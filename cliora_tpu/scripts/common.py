@@ -106,6 +106,13 @@ def build_trainer(options, embeddings, mesh=None) -> Trainer:
             opt_path = options.resume.replace(".npz", ".opt.pkl")
             opt_state = load_opt_state(opt_path, trainer.state.opt_state)
             trainer.install_state(params, opt_state)
+        # exact-resume: restore the step counters (dropout-rng stream +
+        # in-jit fold_in key) recorded in the experiment json; the orbax
+        # branch above already restored the device counter, but the
+        # host-side counter and the npz backend both need this
+        rst = resume_state(options)
+        if rst and "host_step" in rst:
+            trainer.set_step(int(rst["host_step"]))
         logger.info(f"# of params = {param_count(trainer.params)}")
         return trainer
 
@@ -125,6 +132,36 @@ def build_trainer(options, embeddings, mesh=None) -> Trainer:
 
     logger.info(f"# of params = {param_count(trainer.params)}")
     return trainer
+
+
+def resume_state(options):
+    """The ``{step, epoch, host_step, seed}`` snapshot recorded with the
+    checkpoint being ``--resume``\\ d, or None.
+
+    Looks for ``experiment.epoch_N.json`` next to the checkpoint (then in
+    the experiment dir), N parsed from the ``model.epoch_N.*`` filename.
+    Old-format jsons (reference parity: ``{step}`` only,
+    cliora/utils/checkpoint.py:4-8) still yield the epoch so the run at
+    least restarts at the right epoch boundary.
+    """
+    import re
+
+    from cliora_tpu.utils.checkpoint import load_experiment
+
+    path = getattr(options, "resume", None)
+    if not path or path == "auto":
+        return None
+    m = re.match(r"model\.epoch_(\d+)\.", os.path.basename(str(path)))
+    if not m:
+        return None
+    epoch = int(m.group(1))
+    for d in (os.path.dirname(str(path)) or ".", options.experiment_path):
+        j = os.path.join(d, f"experiment.epoch_{epoch}.json")
+        if os.path.exists(j):
+            st = load_experiment(j)
+            st.setdefault("epoch", epoch)
+            return st
+    return {"epoch": epoch}
 
 
 def _latest_checkpoint(experiment_path):

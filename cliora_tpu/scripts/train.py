@@ -127,8 +127,31 @@ def run_train(options, train_iterator, trainer, validation_iterator):
 
     seeds = generate_seeds(options.max_epoch, options.seed)
     step = 0
+    start_epoch = 0
+    from cliora_tpu.scripts.common import resume_state
+    rst = resume_state(options)
+    if rst:
+        # exact resume: restart at the epoch AFTER the checkpointed one,
+        # with the recorded optimizer-step count, so the epoch-seed
+        # schedule (and hence batch order) continues exactly where the
+        # uninterrupted run would be (tests/test_cli.py).  The counter
+        # restore happened in build_trainer.
+        start_epoch = int(rst["epoch"]) + 1
+        step = int(rst.get("step", 0))
+        if rst.get("seed") is not None and rst["seed"] != options.seed:
+            logger.info(
+                f"WARNING: resuming with --seed {options.seed} but the "
+                f"checkpoint was trained with seed {rst['seed']}; batch "
+                f"order will not reproduce the original run")
+        logger.info(f"resume: starting at epoch {start_epoch}, "
+                    f"step {step}")
     best_f1 = -1.0
     best_epoch = None
+    if rst:
+        # keep-best continuity: without this a resumed run could demote
+        # model.best to a worse post-resume epoch
+        best_f1 = float(rst.get("best_f1", -1.0))
+        best_epoch = rst.get("best_epoch")
     profiling = False
     orbax_saver = None
     if getattr(options, "ckpt_backend", "npz") == "orbax":
@@ -139,6 +162,8 @@ def run_train(options, train_iterator, trainer, validation_iterator):
 
     try:
         for epoch, seed in zip(range(options.max_epoch), seeds):
+            if epoch < start_epoch:
+                continue
             logger.info(f"epoch={epoch} seed={seed}")
             batches = (bm for bm in train_iterator.get_iterator(
                 random_seed=seed) if bm["length"] > 2)
@@ -201,7 +226,9 @@ def run_train(options, train_iterator, trainer, validation_iterator):
                     save_opt_state(base + ".opt.pkl", local_opt)
                 save_experiment(
                     os.path.join(options.experiment_path,
-                                 f"experiment.epoch_{epoch}.json"), step)
+                                 f"experiment.epoch_{epoch}.json"), step,
+                    epoch=epoch, host_step=trainer._host_step,
+                    seed=options.seed)
                 _prune_checkpoints(options, epoch, logger)
 
             # distributed eval: under a multi-process mesh every process
@@ -216,6 +243,14 @@ def run_train(options, train_iterator, trainer, validation_iterator):
             if corpus_f1 > best_f1:
                 best_f1, best_epoch = corpus_f1, epoch
             if is_chief:
+                # refresh the snapshot with this epoch's eval so a
+                # resumed run keeps the keep-best state too
+                save_experiment(
+                    os.path.join(options.experiment_path,
+                                 f"experiment.epoch_{epoch}.json"), step,
+                    epoch=epoch, host_step=trainer._host_step,
+                    seed=options.seed, best_f1=best_f1,
+                    best_epoch=best_epoch)
                 if best_epoch == epoch:
                     # keep-best checkpoint: F1 oscillates +-0.03 late in
                     # training (BASELINE.md), so the last epoch is usually

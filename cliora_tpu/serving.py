@@ -34,6 +34,10 @@ from cliora_tpu.models.config import ModelConfig
 
 MANIFEST = "manifest.json"
 
+# Which bundle path claimed the process-global XLA compilation cache
+# (ExportedParser(cache=True)); None until the first claim.
+_CACHE_OWNER: Optional[str] = None
+
 
 def _parse_fn(cfg: ModelConfig, tc, params):
     """Length-masked parse closure with ``params`` baked in.
@@ -165,14 +169,26 @@ class ExportedParser:
             # the full warmup (113 s over the TPU tunnel, BASELINE.md).
             # Sets PROCESS-GLOBAL jax config (a pre-set
             # jax_compilation_cache_dir is respected), which is why it
-            # is opt-in here; scripts/serve.py turns it on.
+            # is opt-in here; scripts/serve.py turns it on.  Only the
+            # FIRST cache=True bundle per process owns the cache dir:
+            # a second bundle would otherwise silently write its
+            # specialized executables into the first bundle's xla_cache.
             import jax
-            if not jax.config.jax_compilation_cache_dir:
-                jax.config.update(
-                    "jax_compilation_cache_dir",
-                    os.path.join(path, "xla_cache"))
+            global _CACHE_OWNER
+            want = os.path.join(path, "xla_cache")
+            current = jax.config.jax_compilation_cache_dir
+            if not current:
+                jax.config.update("jax_compilation_cache_dir", want)
                 jax.config.update(
                     "jax_persistent_cache_min_compile_time_secs", 1)
+                _CACHE_OWNER = path
+            elif os.path.abspath(current) != os.path.abspath(want):
+                import warnings
+                owner = _CACHE_OWNER or current
+                warnings.warn(
+                    f"jax compilation cache already claimed by {owner!r}; "
+                    f"bundle {path!r} will share it (its executables land "
+                    f"there, not in its own xla_cache/)", stacklevel=2)
 
         with open(os.path.join(path, MANIFEST)) as f:
             self.meta = json.load(f)

@@ -558,6 +558,18 @@ class Trainer:
             opt_state = zero1_opt_state(self.mesh, opt_state, params)
         self.state = TrainState(params, opt_state, self.state.step)
 
+    def set_step(self, n: int):
+        """Restore the step counter for exact resume: both the host-side
+        dropout-stream counter and the device TrainState.step (the rng
+        fold_in key inside the jitted step), placed like init placed it
+        so the pinned out_shardings don't see a new layout."""
+        self._host_step = int(n)
+        step = jnp.asarray(int(n), jnp.int32)
+        if self.mesh is not None:
+            from cliora_tpu.parallel.mesh import replicate_tree
+            step = replicate_tree(self.mesh, step)
+        self.state = self.state._replace(step=step)
+
     def local_params(self):
         """Params as fully-addressable arrays (see ``_local_value``)."""
         return jax.tree.map(_local_value, self.state.params)

@@ -149,6 +149,16 @@ def argument_parser() -> argparse.ArgumentParser:
                         "round 4).  NOTE: changes the SGD batch at "
                         "those lengths (not reference-parity dynamics)."
                         "  Tune with tools/autotune_buckets.py.")
+    p.add_argument("--mixed_buckets", action="store_true",
+                   help="fill train batches with MIXED true lengths from "
+                        "one bucket (each row padded to the bucket edge, "
+                        "per-example lengths mask the model) instead of "
+                        "one exact length per batch.  Removes the "
+                        "dropped-rare-length and surplus waste of exact "
+                        "grouping; requires --length_buckets or "
+                        "--n_length_buckets.  Sentences shorter than 3 "
+                        "tokens are dropped at composition (the exact-"
+                        "length path skips such batches instead).")
     p.add_argument("--bucket_floor_len", default=10.0, type=float,
                    help="work-policy cost model: per-step overhead as an "
                         "equivalent cubic length (v5e B=128: t(L) ~ 5ms "

@@ -214,6 +214,74 @@ def test_choose_buckets_work_policy():
         choose_buckets(lens, 3, policy="nope")
 
 
+def test_choose_buckets_work_properties(rng):
+    """Randomized-corpus properties of the work DP (it steers the
+    headline envelope number, VERDICT r4 item 7): edges are observed
+    lengths, include the max, never exceed n_buckets, and are optimal --
+    hence never worse than quantile edges OR any random candidate edge
+    set -- under the cost model."""
+    from cliora_tpu.data.batching import bucket_for, choose_buckets
+
+    def modeled(edges, lens, floor):
+        return sum(floor ** 3 + bucket_for(edges, n) ** 3 for n in lens)
+
+    for trial in range(20):
+        rs = np.random.RandomState(100 + trial)
+        kind = trial % 4
+        if kind == 0:    # lognormal caption-like
+            lens = np.clip(np.round(np.exp(rs.normal(
+                rs.uniform(1.5, 3.0), rs.uniform(0.2, 0.8),
+                rs.randint(10, 2000)))), 1, 60).astype(int)
+        elif kind == 1:  # uniform
+            lens = rs.randint(1, rs.randint(5, 50), rs.randint(5, 500))
+        elif kind == 2:  # bimodal
+            lens = np.concatenate([
+                rs.randint(3, 8, rs.randint(5, 200)),
+                rs.randint(30, 42, rs.randint(5, 200))])
+        else:            # heavy ties / few distinct
+            lens = rs.choice([4, 5, 9, 40], rs.randint(4, 300))
+        lens = lens.tolist()
+        n_buckets = int(rs.randint(1, 12))
+        floor = float(rs.uniform(0.0, 15.0))
+        w = choose_buckets(lens, n_buckets, policy="work",
+                           floor_len=floor)
+        distinct = sorted(set(lens))
+        assert w == sorted(set(w))
+        assert set(w) <= set(distinct)
+        assert w[-1] == max(lens)
+        assert len(w) <= n_buckets
+        if len(distinct) <= n_buckets:
+            assert w == distinct
+        cost_w = modeled(w, lens, floor)
+        q = choose_buckets(lens, n_buckets, policy="quantile")
+        assert cost_w <= modeled(q, lens, floor) + 1e-6
+        # optimality vs random candidate edge sets (must cover the max)
+        for _ in range(5):
+            k = rs.randint(1, min(n_buckets, len(distinct)) + 1)
+            cand = sorted(set(rs.choice(distinct, k).tolist())
+                          | {max(lens)})
+            if len(cand) > n_buckets:
+                continue  # over the bucket budget: not a fair rival
+            assert cost_w <= modeled(cand, lens, floor) + 1e-6, (
+                trial, w, cand)
+
+
+def test_choose_buckets_edge_cases():
+    from cliora_tpu.data.batching import bucket_for, choose_buckets
+
+    assert choose_buckets([], 4) == []
+    assert choose_buckets([7], 4) == [7]
+    assert choose_buckets([7] * 100, 1, policy="work") == [7]
+    assert choose_buckets([3, 9], 1, policy="work") == [9]
+    # bucket_for round-trips
+    assert bucket_for([5, 9], 1) == 5
+    assert bucket_for([5, 9], 5) == 5
+    assert bucket_for([5, 9], 6) == 9
+    assert bucket_for([5, 9], 9) == 9
+    assert bucket_for([5, 9], 12) == 12   # beyond last edge: identity
+    assert bucket_for([], 4) == 4         # no buckets: identity
+
+
 def test_bucketed_training_matches_unbucketed(rng):
     """Same corpus, same seeds: the bucketed run compiles fewer programs
     but steps through the SAME batches with the SAME losses."""

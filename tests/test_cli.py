@@ -333,9 +333,12 @@ def test_resume_cli(corpus, tmp_path, monkeypatch):
     exp2 = str(tmp_path / "exp_resumed")
     train_script.main(
         _common_args(corpus, exp2)
-        + ["--attn_impl", "chunked", "--max_epoch", "1",
+        + ["--attn_impl", "chunked", "--max_epoch", "2",
            "--resume", ckpt])
-    assert os.path.exists(os.path.join(exp2, "model.epoch_0.npz"))
+    # exact resume: epoch 0 is already done (the json next to the
+    # checkpoint says so) -- only epoch 1 trains
+    assert os.path.exists(os.path.join(exp2, "model.epoch_1.npz"))
+    assert not os.path.exists(os.path.join(exp2, "model.epoch_0.npz"))
 
 
 def test_diora_to_cliora_warmstart_cli(corpus, tmp_path, monkeypatch):
@@ -404,30 +407,78 @@ def test_ckpt_keep_prunes_old_epochs(tmp_path, rng):
     assert os.path.exists(os.path.join(exp, "experiment.epoch_0.json"))
 
 
-def test_resume_auto_cli(tmp_path, rng):
-    """--resume auto: cold start trains fresh; rerunning the SAME
-    command continues from the newest epoch checkpoint."""
-    from cliora_tpu.scripts import train as train_script
-
+def _txt_corpus(tmp_path, rng, n=16):
     root = tmp_path / "corpus"
     root.mkdir()
     words = [f"w{i}" for i in range(30)]
     with open(root / "train.txt", "w") as f:
-        for _ in range(16):
+        for _ in range(n):
             f.write(" ".join(words[rng.randint(0, 30)]
-                             for _ in range(6)) + "\n")
-    exp = str(tmp_path / "exp_auto")
-    args = [
+                             for _ in range(rng.randint(4, 8))) + "\n")
+    return root
+
+
+def _txt_args(root, exp, max_epoch):
+    return [
         "--data_type", "txt", "--emb", "none",
         "--train_path", str(root / "train.txt"),
         "--validation_path", str(root / "train.txt"),
         "--experiment_path", exp, "--hidden_dim", "16", "--k_neg", "4",
         "--batch_size", "8", "--validation_batch_size", "8",
-        "--lr", "1e-3", "--max_epoch", "2", "--resume", "auto"]
+        "--lr", "1e-3", "--max_epoch", str(max_epoch)]
+
+
+def test_resume_auto_cli(tmp_path, rng):
+    """--resume auto: cold start trains fresh; a preemption restart
+    continues AT THE NEXT EPOCH (completed epochs are never re-run);
+    rerunning a finished job is a no-op."""
+    from cliora_tpu.scripts import train as train_script
+
+    root = _txt_corpus(tmp_path, rng)
+    exp = str(tmp_path / "exp_auto")
+    args = _txt_args(root, exp, 2) + ["--resume", "auto"]
     train_script.main(args)          # cold start: no checkpoint yet
     assert os.path.exists(os.path.join(exp, "model.epoch_1.npz"))
     mtime0 = os.path.getmtime(os.path.join(exp, "model.epoch_0.npz"))
-    train_script.main(args)          # restart: resumes from epoch_1
-    # epoch files rewritten by the resumed run
+    mtime1 = os.path.getmtime(os.path.join(exp, "model.epoch_1.npz"))
+
+    train_script.main(args)          # finished job: nothing to do
     assert os.path.getmtime(
-        os.path.join(exp, "model.epoch_0.npz")) > mtime0
+        os.path.join(exp, "model.epoch_0.npz")) == mtime0
+    assert os.path.getmtime(
+        os.path.join(exp, "model.epoch_1.npz")) == mtime1
+    assert not os.path.exists(os.path.join(exp, "model.epoch_2.npz"))
+
+    # "preemption" restart with a longer schedule: trains ONLY epoch 2
+    train_script.main(_txt_args(root, exp, 3) + ["--resume", "auto"])
+    assert os.path.exists(os.path.join(exp, "model.epoch_2.npz"))
+    assert os.path.getmtime(
+        os.path.join(exp, "model.epoch_0.npz")) == mtime0
+
+
+def test_exact_resume_reproduces_uninterrupted_run(tmp_path, rng):
+    """Resume-at-epoch-k fidelity: 2 epochs + resume for a 3rd produces
+    the SAME final checkpoint as 3 uninterrupted epochs -- batch order,
+    negative draws, and the step-rng stream all continue exactly
+    (the reference's warm-start "resume" restores none of these,
+    cliora/utils/checkpoint.py:4-8)."""
+    from cliora_tpu.scripts import train as train_script
+
+    root = _txt_corpus(tmp_path, rng)
+
+    exp_full = str(tmp_path / "exp_full")
+    train_script.main(_txt_args(root, exp_full, 3))
+
+    exp_res = str(tmp_path / "exp_res")
+    train_script.main(_txt_args(root, exp_res, 2))
+    train_script.main(_txt_args(root, exp_res, 3) + ["--resume", "auto"])
+
+    a = np.load(os.path.join(exp_full, "model.epoch_2.npz"))
+    b = np.load(os.path.join(exp_res, "model.epoch_2.npz"))
+    assert sorted(a.files) == sorted(b.files)
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # the snapshot json carries the full resume state
+    with open(os.path.join(exp_res, "experiment.epoch_2.json")) as f:
+        snap = json.load(f)
+    assert {"step", "epoch", "host_step", "seed"} <= set(snap)

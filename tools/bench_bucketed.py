@@ -69,6 +69,18 @@ def main():
                          "dispatch-floor-bound at B=128 and run ~2x "
                          "the throughput at B=512 (text L=10 sweep, "
                          "BASELINE.md round 4).")
+    ap.add_argument("--mixed", action="store_true",
+                    help="mixed-length batch composition within buckets "
+                         "(--mixed_buckets): every batch holds mixed "
+                         "TRUE lengths padded to its bucket edge, so no "
+                         "exact length is dropped for failing to muster "
+                         "a full batch.  A/B this against the default "
+                         "exact-length composition.")
+    ap.add_argument("--include_partial", action="store_true",
+                    help="emit surplus (short) batches too; with "
+                         "--pad_batches they pad to full size, so "
+                         "coverage is 100%% at one program per bucket")
+    ap.add_argument("--pad_batches", action="store_true")
     ap.add_argument("--remat", default="auto",
                     help="'auto' (default) | 'true' | 'false'")
     ap.add_argument("--remat_frac", default=0.85, type=float)
@@ -122,17 +134,22 @@ def main():
                 length_to_size[n] = sz
             prev = Lb
     it = BatchIterator(dataset, negative_sampler=sampler, k_neg=KNEG,
-                       batch_size=args.batch, include_partial=False,
+                       batch_size=args.batch,
+                       include_partial=args.include_partial,
                        length_buckets=buckets, prefetch=0,
-                       length_to_size=length_to_size)
+                       length_to_size=length_to_size,
+                       mixed_buckets=args.mixed,
+                       pad_batches=args.pad_batches)
 
     # one real epoch: per padded-length batch counts + a representative
-    # batch per bucket (shapes are identical within a bucket)
-    n_batches, rep = {}, {}
+    # batch per bucket (shapes are identical within a bucket) + coverage
+    n_batches, rep, covered = {}, {}, 0
     for bm in it.get_iterator(random_seed=0):
-        Lp = bm["padded_length"]
-        n_batches[Lp] = n_batches.get(Lp, 0) + 1
-        rep.setdefault(Lp, bm)
+        key = (bm["padded_length"], bm["batch_size"])
+        n_batches[key] = n_batches.get(key, 0) + 1
+        rep.setdefault(key, bm)
+        covered += bm["real_size"]
+    dropped = args.sentences - covered
 
     remat = args.remat if args.remat == "auto" else \
         args.remat.lower() in ("1", "true", "yes")
@@ -148,9 +165,9 @@ def main():
 
     K = args.steps_per_call
     per_bucket = {}
-    for Lp in sorted(rep):
-        bm = rep[Lp]
-        B = bm["batch_size"]
+    for key in sorted(rep):
+        Lp, B = key
+        bm = rep[key]
         dev = {
             "sentences": jnp.asarray(bm["sentences"]),
             "neg_samples": jnp.asarray(bm["neg_samples"]),
@@ -171,28 +188,32 @@ def main():
             ms = trainer.steps(group)
         float(ms[-1]["total_loss"])
         dt = (time.time() - t0) / (args.timed_calls * K)
-        per_bucket[Lp] = {
+        per_bucket[f"{Lp}:{B}"] = {
             "ms_per_step": round(dt * 1e3, 2),
             "sents_per_sec": round(B / dt, 1),
-            "n_batches": n_batches[Lp],
+            "n_batches": n_batches[key],
             "remat": bool(remat_enabled(cfg, B, Lp, D)),
             "compile_s": round(compile_s, 1),
         }
-        print(f"bucket L<={Lp}: {dt * 1e3:7.2f} ms/step  "
-              f"{B / dt:7.0f} sents/s  x{n_batches[Lp]} batches  "
-              f"remat={per_bucket[Lp]['remat']}", flush=True)
+        print(f"bucket L<={Lp} B={B}: {dt * 1e3:7.2f} ms/step  "
+              f"{B / dt:7.0f} sents/s  x{n_batches[key]} batches  "
+              f"remat={per_bucket[f'{Lp}:{B}']['remat']}", flush=True)
 
-    total_sents = sum(n_batches[L] * rep[L]["batch_size"]
-                      for L in n_batches)
-    epoch_s = sum(n_batches[L] * per_bucket[L]["ms_per_step"] / 1e3
-                  for L in n_batches)
+    # throughput counts REAL sentences only: padded/repeated rows do
+    # work but carry no training signal
+    epoch_s = sum(n_batches[(L, B)]
+                  * per_bucket[f"{L}:{B}"]["ms_per_step"] / 1e3
+                  for (L, B) in n_batches)
     print(json.dumps({
         "metric": ("cliora" if args.cliora else "diora")
         + "_bucketed_mixed_length_train_sents_per_sec_per_chip",
-        "value": round(total_sents / epoch_s, 1),
+        "value": round(covered / epoch_s, 1),
         "unit": "sentences/sec/chip",
         "buckets": buckets,
         "batch": args.batch,
+        "mixed": args.mixed,
+        "covered_sentences": covered,
+        "dropped_sentences": dropped,
         "remat": args.remat,
         "remat_frac": args.remat_frac,
         "steps_per_call": K,
