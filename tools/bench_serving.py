@@ -69,8 +69,16 @@ def _bench_concurrent(served, sents, args):
         with lock:
             return served.parse(sentences)
 
+    t0 = time.time()
+    serialized(reqs[0])
+    print(f"first single-sentence response: {time.time() - t0:.2f}s "
+          f"(compile or bundle-cache load for shape B=1)", flush=True)
+
     mb = MicroBatcher(served, max_batch=N, max_wait_ms=5.0)
+    t0 = time.time()
     mb.submit(reqs[0])  # warm
+    print(f"first microbatch response: {time.time() - t0:.2f}s",
+          flush=True)
     total = N * M
     for name, fn in (("serialized", serialized), ("microbatch", mb.submit)):
         dt = run(fn)
