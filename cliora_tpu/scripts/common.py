@@ -206,7 +206,11 @@ def get_train_iterator(options, dataset):
         data_path=getattr(options, "data_path", None))
 
 
-def get_validation_iterator(options, dataset):
+def get_validation_iterator(options, dataset, length_buckets=None):
+    """``length_buckets`` (from --eval_buckets, scripts/train.py) pads
+    validation batches to those edges so eval compiles one parse
+    program per bucket instead of one per exact length; run_eval masks
+    and decodes by true length so metrics are unchanged."""
     return make_batch_iterator(
         options, dataset, include_partial=True,
         filter_length=options.validation_filter_length,
@@ -214,7 +218,8 @@ def get_validation_iterator(options, dataset):
         length_to_size=options.length_to_size, mode="test",
         data_path=getattr(options, "data_path", None),
         # pad surplus batches so eval compiles once per length
-        pad_batches=True)
+        pad_batches=True,
+        length_buckets=length_buckets)
 
 
 def get_train_and_validation(options):

@@ -1,8 +1,10 @@
 """Export a trained model as a sealed serving bundle (jax.export).
 
-Seals the parse step -- params baked in, symbolic batch dimension --
-into per-length StableHLO artifacts a serving host runs with no model
-code (cliora_tpu/serving.py).  Usage mirrors parse.py's model loading::
+Seals the parse step -- symbolic batch dimension, weights as a
+params.npz sidecar (or baked into the StableHLO with
+--export_baked_params) -- into per-length artifacts a serving host
+runs with no model code (cliora_tpu/serving.py).  Usage mirrors
+parse.py's model loading::
 
     python -m cliora_tpu.scripts.export_model \
         --data_type flickr --emb none \
@@ -38,6 +40,15 @@ def add_export_flags(p):
     p.add_argument("--export_batch", default=None, type=int,
                    help="pin the batch dimension (default: symbolic -- "
                         "any batch size at serving time).")
+    p.add_argument("--export_baked_params", action="store_true",
+                   help="bake the weights into every artifact as "
+                        "StableHLO constants (the classic fully-sealed "
+                        "form).  Default exports weights as arguments "
+                        "with a params.npz sidecar: artifacts and their "
+                        "cached per-shape executables stay small and "
+                        "the weights upload once per process -- much "
+                        "faster export, warmup, and restart-from-cache "
+                        "(BASELINE.md round 5).")
     return p
 
 
@@ -49,13 +60,17 @@ def run(options):
     lengths = [int(x) for x in options.export_lengths.split(",")]
     platforms = (options.export_platforms.split(",")
                  if options.export_platforms else None)
+    in_args = not options.export_baked_params
+    params = trainer.local_params()
     artifacts = export_parser(
-        trainer.cfg, trainer.local_params(), lengths,
-        platforms=platforms, batch=options.export_batch)
+        trainer.cfg, params, lengths,
+        platforms=platforms, batch=options.export_batch,
+        params_in_args=in_args)
     bundle = os.path.join(options.experiment_path, "bundle")
     save_bundle(bundle, trainer.cfg, artifacts,
                 word2idx=dataset["word2idx"],
                 batch=options.export_batch,
+                params=params if in_args else None,
                 extra_meta={"source_checkpoint": options.load_model_path})
     for L, blob in artifacts.items():
         logger.info(f"exported bucket L={L}: {len(blob) / 1e6:.2f} MB")

@@ -43,7 +43,8 @@ def _tupleize(tree):
 
 def make_server(bundle: str, host: str = "127.0.0.1", port: int = 8000,
                 max_batch: int = 64, max_wait_ms: float = 5.0,
-                warm: bool = True, cache: bool = True):
+                warm: bool = True, cache: bool = True,
+                warm_async: bool = False):
     # cache=True: specialized executables persist in <bundle>/xla_cache,
     # so a server RESTART re-warms from disk in seconds instead of
     # recompiling every (bucket, batch) shape (113 s over the TPU
@@ -54,7 +55,12 @@ def make_server(bundle: str, host: str = "127.0.0.1", port: int = 8000,
             "serve.py handles text bundles; CLIORA bundles need region "
             "features per request -- use cliora_tpu.serving.ExportedParser "
             "directly")
-    if warm:
+    if warm and warm_async:
+        # serve immediately; shapes pre-specialize in the background
+        # (a request racing the warmup blocks like a cold hit would)
+        parser.warmup_async(max_batch)
+        print("warmup: running in background (--warm_async)", flush=True)
+    elif warm:
         # pre-specialize every (bucket, quantized-batch) shape so no
         # request ever pays a first-hit compile (tens of seconds over a
         # remote compile path).  Sound because warmup's max_batch and
@@ -131,6 +137,11 @@ def main(args=None):
     p.add_argument("--no_warm", action="store_true",
                    help="skip the startup shape warmup (first request "
                         "per novel batch size then pays its compile)")
+    p.add_argument("--warm_async", action="store_true",
+                   help="warm shapes on a background thread and accept "
+                        "requests immediately (time-to-first-response "
+                        "beats blocking warmup; requests racing the "
+                        "warmup block like cold hits)")
     p.add_argument("--no_cache", action="store_true",
                    help="don't persist specialized executables in "
                         "<bundle>/xla_cache (a restart then re-pays the "
@@ -140,7 +151,8 @@ def main(args=None):
                       max_batch=options.max_batch,
                       max_wait_ms=options.max_wait_ms,
                       warm=not options.no_warm,
-                      cache=not options.no_cache)
+                      cache=not options.no_cache,
+                      warm_async=options.warm_async)
     print(f"serving {options.bundle} on "
           f"http://{options.host}:{srv.server_address[1]}", flush=True)
     srv.serve_forever()

@@ -188,7 +188,11 @@ def run_train(options, train_iterator, trainer, validation_iterator):
                     profiling = _stop_profiler(trainer, options, logger)
                 result["length"] = batch_map["length"]
                 result["batch_size"] = batch_map["batch_size"]
-                epoch_sents += int(batch_map["batch_size"])
+                # count REAL sentences only (padded/repeated rows do
+                # work but carry no training signal) so the epoch
+                # sents/s line is comparable to tools/bench_bucketed.py
+                epoch_sents += int(batch_map.get(
+                    "real_size", batch_map["batch_size"]))
                 experiment_logger.record(result)
                 if step % options.log_every_batch == 0:
                     experiment_logger.log_batch(
@@ -337,8 +341,12 @@ def run(options):
                                                  validation_dataset)
     else:
         train_iterator = get_train_iterator(options, train_dataset)
-    validation_iterator = get_validation_iterator(options,
-                                                  validation_dataset)
+    validation_iterator = get_validation_iterator(
+        options, validation_dataset,
+        # --eval_buckets: share the train edges so eval compiles one
+        # parse program per bucket, not one per exact length
+        length_buckets=(train_iterator.length_buckets
+                        if options.eval_buckets else None))
     embeddings = train_dataset["embeddings"]
 
     logger.info("Initializing model.")

@@ -1,13 +1,20 @@
 """Sealed parse artifacts for serving: ``jax.export`` bundles.
 
 Production serving wants a deployable artifact, not a Python model
-tree: this module seals the jitted parse step -- **parameters baked in
-as constants** -- into portable StableHLO via ``jax.export``.  A bundle
-is a directory of per-bucket artifacts (one per padded sentence length,
-the repo's compiled-shape discipline) plus a ``manifest.json``; the
-loader pads each request to its bucket, masks by true length (the same
-traced ``lengths`` mechanics as ``--n_length_buckets`` training), and
-decodes trees host-side.
+tree: this module seals the jitted parse step into portable StableHLO
+via ``jax.export``.  A bundle is a directory of per-bucket artifacts
+(one per padded sentence length, the repo's compiled-shape discipline)
+plus a ``manifest.json``; the loader pads each request to its bucket,
+masks by true length (the same traced ``lengths`` mechanics as
+``--n_length_buckets`` training), and decodes trees host-side.
+
+Weights travel one of two ways (``export_parser(params_in_args=...)``):
+as the artifacts' first ARGUMENT with a ``params.npz`` sidecar the
+loader uploads to the device once (the default -- small artifacts,
+small cached executables, fast restart), or BAKED into every artifact
+as StableHLO constants (the classic fully-sealed form; each per-shape
+executable then carries the full weights, which over a remote-device
+link dominates restart latency -- measured in BASELINE.md round 5).
 
 The batch dimension is exported *symbolically* (shape polymorphism), so
 one artifact serves any batch size.  Artifacts can target multiple
@@ -39,8 +46,16 @@ MANIFEST = "manifest.json"
 _CACHE_OWNER: Optional[str] = None
 
 
-def _parse_fn(cfg: ModelConfig, tc, params):
-    """Length-masked parse closure with ``params`` baked in.
+def _parse_fn(cfg: ModelConfig, tc, params=None):
+    """Length-masked parse closure.
+
+    With ``params`` given they are BAKED into the traced function as
+    constants (the sealed-artifact mode); with ``params=None`` the
+    returned function takes the params pytree as its FIRST argument
+    (the weights-as-arguments mode -- the exported program then
+    excludes the weights, so per-shape specialized executables are
+    ~20x smaller and the weights upload to the device ONCE instead of
+    once per shape; see BASELINE.md "serving restart").
 
     Returns ``{"cky_bp": (B, ncells) int32}`` (+ ``atten_score``
     (B, L, R) for CLIORA grounding).  Mirrors Trainer._parse_step's
@@ -48,20 +63,24 @@ def _parse_fn(cfg: ModelConfig, tc, params):
     """
     from cliora_tpu.training.trainer import forward_outputs
 
-    def text_fn(tokens, lengths):
+    def text_fn(params, tokens, lengths):
         out, _ = forward_outputs(
             cfg, tc, params, tokens, rng=None, train=False,
             with_cky=True, outside=False, lengths=lengths)
         return {"cky_bp": out.chart.cky_bp}
 
-    def obj_fn(tokens, lengths, obj_feats):
+    def obj_fn(params, tokens, lengths, obj_feats):
         out, _ = forward_outputs(
             cfg, tc, params, tokens, obj_feats=obj_feats, rng=None,
             train=False, with_cky=True, outside=True, lengths=lengths)
         return {"cky_bp": out.chart.cky_bp,
                 "atten_score": out.atten_score}
 
-    return obj_fn if cfg.use_obj else text_fn
+    fn = obj_fn if cfg.use_obj else text_fn
+    if params is None:
+        return fn
+    import functools
+    return functools.partial(fn, params)
 
 
 def export_parser(
@@ -71,12 +90,23 @@ def export_parser(
     *,
     platforms: Optional[Sequence[str]] = None,
     batch: Optional[int] = None,
+    params_in_args: bool = False,
 ) -> Dict[int, bytes]:
     """Serialize one parse artifact per padded sentence length.
 
     ``batch=None`` exports a symbolic batch dimension (any B at serving
     time); an int pins it.  ``platforms`` defaults to the current
     backend; pass e.g. ``["tpu", "cpu"]`` for a portable artifact.
+
+    ``params_in_args=False`` (classic) bakes the weights into every
+    artifact as StableHLO constants; ``True`` exports them as the
+    function's first argument instead -- pass the same ``params`` to
+    :func:`save_bundle` so the loader can ship them as a ``params.npz``
+    sidecar.  Weights-as-arguments keeps each artifact (and each
+    per-shape compiled executable in the bundle's xla_cache) small and
+    uploads the weights to the device once per process instead of once
+    per (bucket, batch) shape -- measured on the TPU tunnel this is
+    what makes server restart-from-cache fast (BASELINE.md round 5).
     """
     from jax import export as jexport
 
@@ -84,12 +114,16 @@ def export_parser(
 
     # serving never materializes the (B, B, cells, R) tensor
     tc = TrainConfig(attn_impl="chunked")
-    fn = _parse_fn(cfg, tc, params)
+    fn = _parse_fn(cfg, tc, None if params_in_args else params)
 
     if batch is None:
         (b,) = jexport.symbolic_shape("b")
     else:
         b = int(batch)
+
+    param_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        params) if params_in_args else None
 
     out = {}
     for L in sorted(set(int(x) for x in bucket_lengths)):
@@ -99,6 +133,8 @@ def export_parser(
         if cfg.use_obj:
             specs.append(jax.ShapeDtypeStruct(
                 (b, cfg.n_regions, cfg.obj_feat_size), jnp.float32))
+        if params_in_args:
+            specs.insert(0, param_specs)
         exp = jexport.export(
             jax.jit(fn), platforms=list(platforms) if platforms else None)(
                 *specs)
@@ -109,12 +145,18 @@ def export_parser(
 def save_bundle(path: str, cfg: ModelConfig, artifacts: Dict[int, bytes],
                 *, word2idx: Optional[dict] = None,
                 batch: Optional[int] = None,
+                params=None,
                 extra_meta: Optional[dict] = None) -> None:
     """Write a serving bundle: per-bucket artifacts + manifest (+vocab).
 
     ``batch`` must echo export_parser's ``batch`` argument: a pinned
     batch dimension is recorded in the manifest so the loader can chunk
     and pad requests to exactly that size (None = symbolic batch).
+
+    ``params`` must echo export_parser's ``params_in_args=True``: the
+    weights land in a ``params.npz`` sidecar (flat ``/``-joined keys,
+    training/checkpoint.py conventions) that the loader uploads to the
+    device once and passes as every artifact's first argument.
     """
     os.makedirs(path, exist_ok=True)
     files = {}
@@ -123,12 +165,17 @@ def save_bundle(path: str, cfg: ModelConfig, artifacts: Dict[int, bytes],
         with open(os.path.join(path, name), "wb") as f:
             f.write(blob)
         files[str(L)] = name
+    if params is not None:
+        from cliora_tpu.training.checkpoint import flatten
+
+        np.savez(os.path.join(path, "params.npz"), **flatten(params))
     meta = {
         "format": "cliora_tpu.jax.export.v1",
         "jax_version": jax.__version__,
         "bucket_lengths": sorted(artifacts),
         "files": files,
         "batch": int(batch) if batch else None,
+        "params_in_args": params is not None,
         "use_obj": cfg.use_obj,
         "n_regions": cfg.n_regions if cfg.use_obj else None,
         "obj_feat_size": cfg.obj_feat_size if cfg.use_obj else None,
@@ -173,7 +220,6 @@ class ExportedParser:
             # FIRST cache=True bundle per process owns the cache dir:
             # a second bundle would otherwise silently write its
             # specialized executables into the first bundle's xla_cache.
-            import jax
             global _CACHE_OWNER
             want = os.path.join(path, "xla_cache")
             current = jax.config.jax_compilation_cache_dir
@@ -198,6 +244,24 @@ class ExportedParser:
             with open(os.path.join(path, name), "rb") as f:
                 self._fns[int(L)] = jexport.deserialize(f.read())
         self.bucket_lengths = sorted(self._fns)
+        self._params = None
+        if self.meta.get("params_in_args"):
+            # weights-as-arguments bundle: rebuild the nested-dict params
+            # pytree from the flat npz sidecar and upload it to the
+            # device ONCE; every artifact call reuses the same device
+            # arrays (a baked bundle instead re-ships the weights inside
+            # every per-shape executable -- ~100 MB each on the D=400
+            # model, the restart-latency driver on remote-device paths)
+            tree: dict = {}
+            with np.load(os.path.join(path, "params.npz"),
+                         allow_pickle=False) as z:
+                for key in z.files:
+                    node = tree
+                    *parents, leaf = key.split("/")
+                    for p in parents:
+                        node = node.setdefault(p, {})
+                    node[leaf] = z[key]
+            self._params = jax.device_put(tree)
         vocab_path = os.path.join(path, "vocab.json")
         self.word2idx = None
         if os.path.exists(vocab_path):
@@ -255,6 +319,24 @@ class ExportedParser:
                 self.parse(sents, obj_feats=obj)
                 n_calls += 1
         return n_calls
+
+    def warmup_async(self, max_batch: int = 64):
+        """:meth:`warmup` on a daemon thread; returns the Thread.
+
+        Lets a server accept requests immediately: shapes already
+        touched run warm, a request racing the warmup just blocks on
+        the device like any cold first hit would.  ``jax`` dispatch is
+        thread-safe (compilation is locked per-program internally), so
+        the background specializations and foreground requests
+        interleave safely.  Join the returned thread to know when every
+        shape is warm.
+        """
+        import threading
+
+        t = threading.Thread(target=self.warmup, args=(max_batch,),
+                             daemon=True)
+        t.start()
+        return t
 
     def parse(self, sentences: List[Sequence[int]],
               obj_feats: Optional[np.ndarray] = None,
@@ -315,6 +397,8 @@ class ExportedParser:
                     of[:len(chunk)] = np.asarray(obj_feats[chunk],
                                                  np.float32)
                     args.append(of)
+                if self._params is not None:
+                    args.insert(0, self._params)
                 res = self._fns[L].call(*args)
                 bp = np.asarray(res["cky_bp"])[:len(chunk)]
                 decoded = decode_batch(bp, L, lens[:len(chunk)])

@@ -159,6 +159,17 @@ def argument_parser() -> argparse.ArgumentParser:
                         "--n_length_buckets.  Sentences shorter than 3 "
                         "tokens are dropped at composition (the exact-"
                         "length path skips such batches instead).")
+    p.add_argument("--eval_buckets", action="store_true",
+                   help="pad VALIDATION batches to the training length-"
+                        "bucket edges so per-epoch eval compiles one "
+                        "parse program per bucket instead of one per "
+                        "exact sentence length (~4x fewer compiles on a "
+                        "L<=40 mix).  Metrics are identical -- run_eval "
+                        "masks and decodes by true length "
+                        "(tests/test_mixed_buckets.py "
+                        "test_run_eval_ragged_matches_exact).  Off by "
+                        "default: parse/phrase_embed chart dumps index "
+                        "by exact length and keep exact batches.")
     p.add_argument("--bucket_floor_len", default=10.0, type=float,
                    help="work-policy cost model: per-step overhead as an "
                         "equivalent cubic length (v5e B=128: t(L) ~ 5ms "

@@ -482,3 +482,48 @@ def test_exact_resume_reproduces_uninterrupted_run(tmp_path, rng):
     with open(os.path.join(exp_res, "experiment.epoch_2.json")) as f:
         snap = json.load(f)
     assert {"step", "epoch", "host_step", "seed"} <= set(snap)
+
+
+def test_eval_buckets_cli(corpus, tmp_path, monkeypatch):
+    """--eval_buckets pads validation batches to the TRAIN bucket edges
+    (one parse compile per bucket) and reports identical metrics."""
+    from cliora_tpu.scripts import train as train_script
+
+    root = corpus
+    common = [
+        "--data_type", "flickr", "--emb", "none",
+        "--train_path", os.path.join(root, "flickr_train.json"),
+        "--validation_path", os.path.join(root, "flickr_test.json"),
+        "--data_path", root, "--hidden_dim", "16", "--k_neg", "4",
+        "--batch_size", "8", "--validation_batch_size", "8",
+        "--lr", "0", "--max_epoch", "1", "--seed", "11",
+        "--n_length_buckets", "2"]
+
+    metrics = {}
+    real_eval = train_script.run_eval
+
+    def record(name):
+        def wrapped(trainer, iterator, **kw):
+            lens = {bm.get("padded_length") or bm["length"]
+                    for bm in iterator.get_iterator(random_seed=0)}
+            metrics[name] = (real_eval(trainer, iterator, **kw), lens)
+            return metrics[name][0]
+
+        return wrapped
+
+    monkeypatch.setattr(train_script, "run_eval", record("exact"))
+    train_script.main(common + ["--experiment_path",
+                                str(tmp_path / "exp_a")])
+    monkeypatch.setattr(train_script, "run_eval", record("bucketed"))
+    train_script.main(common + ["--eval_buckets", "--experiment_path",
+                                str(tmp_path / "exp_b")])
+
+    (m_exact, lens_exact), (m_bucket, lens_bucket) = (
+        metrics["exact"], metrics["bucketed"])
+    # bucketed eval runs every batch at a train bucket edge: at most
+    # n_length_buckets distinct padded lengths, strictly fewer compiled
+    # parse programs than the exact-length path
+    assert len(lens_bucket) <= 2 < len(lens_exact)
+    for k in ("corpus_f1", "sent_f1"):
+        np.testing.assert_allclose(m_bucket[k], m_exact[k], atol=1e-9,
+                                   err_msg=k)

@@ -520,3 +520,50 @@ def test_microbatcher_isolates_bad_requests():
     assert isinstance(errors[1], ValueError)
     mb.close()
     assert not mb._thread.is_alive()
+
+
+def test_params_in_args_bundle_matches_baked(rng, tmp_path):
+    """Weights-as-arguments bundle == baked bundle == live parse.
+
+    The args-mode artifact must be materially smaller (no weight
+    constants), carry a params.npz sidecar, and produce identical
+    trees for ragged mixed-bucket requests.
+    """
+    cfg = ModelConfig(size=16, input_size=24)
+    params = _params(cfg)
+    baked_arts = export_parser(cfg, params, [5, 9])
+    args_arts = export_parser(cfg, params, [5, 9], params_in_args=True)
+    # weight constants dominate even this tiny model's baked artifact
+    assert len(args_arts[9]) < len(baked_arts[9])
+
+    baked = str(tmp_path / "baked")
+    light = str(tmp_path / "light")
+    save_bundle(baked, cfg, baked_arts)
+    save_bundle(light, cfg, args_arts, params=params)
+    assert os.path.exists(os.path.join(light, "params.npz"))
+
+    served_b = ExportedParser(baked)
+    served_a = ExportedParser(light)
+    assert served_a.meta["params_in_args"] is True
+    sents = [list(rng.randint(2, V, n)) for n in (3, 9, 5, 7, 4)]
+    assert served_a.parse(sents) == served_b.parse(sents)
+
+
+def test_params_in_args_cliora_bundle(rng, tmp_path):
+    """CLIORA (obj_feats) args-mode bundle: trees + attention parity."""
+    cfg = ModelConfig(size=16, input_size=24, use_obj=True,
+                      n_regions=4, obj_feat_size=12)
+    params = _params(cfg)
+    baked = str(tmp_path / "baked")
+    light = str(tmp_path / "light")
+    save_bundle(baked, cfg, export_parser(cfg, params, [6]))
+    save_bundle(light, cfg,
+                export_parser(cfg, params, [6], params_in_args=True),
+                params=params)
+    sents = [list(rng.randint(2, V, n)) for n in (4, 6, 3)]
+    feats = rng.randn(3, 4, 12).astype(np.float32)
+    trees_b, attn_b = ExportedParser(baked).parse(sents, obj_feats=feats)
+    trees_a, attn_a = ExportedParser(light).parse(sents, obj_feats=feats)
+    assert trees_a == trees_b
+    for a, b in zip(attn_a, attn_b):
+        np.testing.assert_array_equal(a, b)

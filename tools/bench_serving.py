@@ -111,6 +111,12 @@ def main():
                          "load executables from the bundle cache in "
                          "seconds instead of recompiling (serving.py "
                          "ExportedParser cache)")
+    ap.add_argument("--baked_params", action="store_true",
+                    help="export with weights baked into the artifact "
+                         "as constants (the classic sealed form) "
+                         "instead of the weights-as-arguments default; "
+                         "reused bundles follow their manifest, not "
+                         "this flag")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. 'cpu' for a host-"
                          "side smoke); default probes the TPU tunnel "
@@ -153,14 +159,17 @@ def main():
     else:
         ctx = tempfile.TemporaryDirectory()
         reuse = False
+    in_args = not args.baked_params
     if not reuse:
         t0 = time.time()
-        arts = export_parser(cfg, params, [L])
+        arts = export_parser(cfg, params, [L], params_in_args=in_args)
         print(f"export: {time.time() - t0:.1f}s, "
-              f"{len(arts[L]) / 1e6:.2f} MB", flush=True)
+              f"{len(arts[L]) / 1e6:.2f} MB "
+              f"({'weights-as-args' if in_args else 'baked'})",
+              flush=True)
     with ctx as d:
         if not reuse:
-            save_bundle(d, cfg, arts)
+            save_bundle(d, cfg, arts, params=params if in_args else None)
         else:
             print(f"reusing bundle at {d} (warm-restart path)",
                   flush=True)
