@@ -105,14 +105,46 @@ class FixedLengthBatchSampler:
     """
 
     def __init__(self, lengths, batch_size, include_partial=False, rng=None,
-                 maxlen=None, length_to_size=None):
+                 maxlen=None, length_to_size=None, dispatch_group=1):
         self.lengths = list(lengths)
         self.batch_size = batch_size
         self.include_partial = include_partial
         self.rng = rng if rng is not None else np.random.RandomState(11)
         self.maxlen = maxlen
         self.length_to_size = length_to_size
+        self.dispatch_group = max(1, int(dispatch_group))
         self._batch_size_cache = {0: batch_size}
+
+    def _shuffle_order(self, order):
+        """Shuffle the batch-slot order.
+
+        ``dispatch_group == 1`` (default): uniform shuffle, the
+        reference's batch-order statistics
+        (cliora/data/dataloader.py:75-81).
+
+        ``dispatch_group == K > 1``: BLOCKED shuffle -- same-key slots
+        are chunked into runs of up to K and the runs are shuffled.
+        Consecutive batches then share a compiled shape for K steps,
+        so ``--steps_per_call K`` amortizes dispatch latency; a
+        uniform shuffle over >=2 shapes almost never yields the
+        same-shape runs Trainer.steps needs (expected run length
+        ~1/(1-p)).  SGD sees same-bucket runs of K -- document as a
+        deviation from reference order statistics (--batch_order).
+        """
+        if self.dispatch_group <= 1:
+            self.rng.shuffle(order)
+            return order
+        counts: Dict[int, int] = {}
+        for key in order:
+            counts[key] = counts.get(key, 0) + 1
+        runs = []
+        for key, n in counts.items():
+            q, r = divmod(n, self.dispatch_group)
+            runs += [[key] * self.dispatch_group] * q
+            if r:
+                runs.append([key] * r)
+        self.rng.shuffle(runs)
+        return [k for run in runs for k in run]
 
     def get_batch_size(self, length: int) -> int:
         if self.length_to_size is None:
@@ -142,7 +174,7 @@ class FixedLengthBatchSampler:
             order += [length] * (len(arr) // size)
             if self.include_partial and len(arr) % size:
                 order += [length]
-        self.rng.shuffle(order)
+        order = self._shuffle_order(order)
 
         for length in order:
             size = self.get_batch_size(length)
@@ -180,10 +212,12 @@ class BucketBatchSampler(FixedLengthBatchSampler):
     """
 
     def __init__(self, lengths, buckets, batch_size, include_partial=False,
-                 rng=None, maxlen=None, length_to_size=None, min_length=3):
+                 rng=None, maxlen=None, length_to_size=None, min_length=3,
+                 dispatch_group=1):
         super().__init__(lengths, batch_size,
                          include_partial=include_partial, rng=rng,
-                         maxlen=maxlen, length_to_size=length_to_size)
+                         maxlen=maxlen, length_to_size=length_to_size,
+                         dispatch_group=dispatch_group)
         assert buckets, "BucketBatchSampler needs length buckets"
         self.buckets = sorted(int(b) for b in buckets)
         self.min_length = min_length
@@ -207,7 +241,7 @@ class BucketBatchSampler(FixedLengthBatchSampler):
             order += [edge] * (len(arr) // size)
             if self.include_partial and len(arr) % size:
                 order += [edge]
-        self.rng.shuffle(order)
+        order = self._shuffle_order(order)
 
         for edge in order:
             size = self.get_batch_size(edge)
@@ -231,7 +265,7 @@ class BatchIterator:
             length_to_size=None, process_index: int = 0,
             process_count: int = 1, prefetch: int = 4,
             pad_batches: bool = False, length_buckets=None,
-            mixed_buckets: bool = False):
+            mixed_buckets: bool = False, dispatch_group: int = 1):
         self.dataset = dataset
         self.extra = extra or {}
         self.negative_sampler = negative_sampler
@@ -262,6 +296,9 @@ class BatchIterator:
         if mixed_buckets and not self.length_buckets:
             raise ValueError("mixed_buckets requires length_buckets")
         self.mixed_buckets = mixed_buckets
+        # --batch_order blocked: emit same-shape batches in runs of
+        # this many so steps_per_call can group them into one dispatch
+        self.dispatch_group = max(1, int(dispatch_group))
         self.word2idx = None  # set by make_batch_iterator
 
     # -- reference-parity introspection helpers (batch_iterator.py:68-80) --
@@ -365,7 +402,8 @@ class BatchIterator:
                 lengths, self.length_buckets, batch_size=batch_size,
                 rng=rng, maxlen=self.filter_length,
                 include_partial=include_partial,
-                length_to_size=self.length_to_size)
+                length_to_size=self.length_to_size,
+                dispatch_group=self.dispatch_group)
 
             def assemble(item):
                 edge, batch_index = item
@@ -380,7 +418,8 @@ class BatchIterator:
                 lengths, batch_size=batch_size, rng=rng,
                 maxlen=self.filter_length,
                 include_partial=include_partial,
-                length_to_size=self.length_to_size)
+                length_to_size=self.length_to_size,
+                dispatch_group=self.dispatch_group)
 
             def assemble(batch_index):
                 target = sampler.get_batch_size(

@@ -228,6 +228,14 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
     if mixed and not length_buckets:
         raise ValueError("--mixed_buckets requires --length_buckets or "
                          "--n_length_buckets")
+    # --batch_order blocked: emit same-shape TRAIN batches in runs of
+    # steps_per_call so Trainer.steps can fuse them into one dispatch
+    # (a uniform shuffle over many shapes never forms such runs)
+    dispatch_group = 1
+    if (chunked
+            and getattr(options, "batch_order", "shuffle") == "blocked"):
+        dispatch_group = max(1, int(getattr(options, "steps_per_call", 1)
+                                    or 1))
     it = BatchIterator(
         dataset, extra=extra, negative_sampler=negative_sampler,
         k_neg=getattr(options, "k_neg", 100),
@@ -239,6 +247,7 @@ def make_batch_iterator(options, dset, shuffle=True, include_partial=False,
         process_count=jax.process_count() if chunked else 1,
         pad_batches=pad_batches,
         length_buckets=length_buckets,
-        mixed_buckets=mixed)
+        mixed_buckets=mixed,
+        dispatch_group=dispatch_group)
     it.word2idx = word2idx
     return it

@@ -198,12 +198,18 @@ def get_validation_dataset(options):
 
 
 def get_train_iterator(options, dataset):
+    # include_partial=False is the reference default (drop final
+    # sub-B batches, cliora/data/dataloader.py); --include_partial
+    # [--pad_batches] opts into full-coverage training (BASELINE.md
+    # round 5 production mode).
     return make_batch_iterator(
-        options, dataset, include_partial=False,
+        options, dataset,
+        include_partial=getattr(options, "include_partial", False),
         filter_length=options.train_filter_length,
         batch_size=options.batch_size,
         length_to_size=options.length_to_size, mode="train",
-        data_path=getattr(options, "data_path", None))
+        data_path=getattr(options, "data_path", None),
+        pad_batches=getattr(options, "pad_batches", False))
 
 
 def get_validation_iterator(options, dataset, length_buckets=None):

@@ -159,6 +159,34 @@ def argument_parser() -> argparse.ArgumentParser:
                         "--n_length_buckets.  Sentences shorter than 3 "
                         "tokens are dropped at composition (the exact-"
                         "length path skips such batches instead).")
+    p.add_argument("--batch_order", default="shuffle",
+                   choices=("shuffle", "blocked"),
+                   help="'shuffle' (default): uniform batch order, the "
+                        "reference's SGD order statistics.  'blocked': "
+                        "same-shape train batches come in runs of "
+                        "--steps_per_call so each run fuses into ONE "
+                        "device dispatch (Trainer.steps); with many "
+                        "length buckets a uniform shuffle almost never "
+                        "forms same-shape runs and per-step dispatch "
+                        "latency dominates short buckets.  SGD sees "
+                        "same-bucket runs of K (batches within a run "
+                        "remain random) -- a mild order-statistics "
+                        "deviation from the reference.")
+    p.add_argument("--include_partial", action="store_true",
+                   help="keep final sub-batch-size TRAIN batches "
+                        "instead of dropping them (the reference drops "
+                        "them, cliora/data/dataloader.py "
+                        "FixedLengthBatchSampler).  With "
+                        "--mixed_buckets + --pad_batches this trains "
+                        "100%% of the corpus: the full-coverage "
+                        "production mode (BASELINE.md round 5).  "
+                        "Validation always includes partial batches.")
+    p.add_argument("--pad_batches", action="store_true",
+                   help="pad partial TRAIN batches up to --batch_size "
+                        "with repeated rows (masked out of the losses; "
+                        "epoch sents/s counts real rows only) so "
+                        "--include_partial adds no new compiled batch "
+                        "shapes.  Validation batches are always padded.")
     p.add_argument("--eval_buckets", action="store_true",
                    help="pad VALIDATION batches to the training length-"
                         "bucket edges so per-epoch eval compiles one "

@@ -371,3 +371,68 @@ def test_contrastive_ignores_other_examples_pad_cells(rng):
     dirty = float(contrastive_loss_from_scores(ins_g, outs_g, scores_g,
                                                **kw))
     np.testing.assert_allclose(dirty, clean, rtol=1e-5, atol=1e-5)
+
+
+def test_blocked_dispatch_order():
+    """--batch_order blocked: same-shape batches arrive in runs of K so
+    steps_per_call can fuse them into one dispatch; coverage and
+    within-bucket randomization are unchanged."""
+    from cliora_tpu.data.batching import BucketBatchSampler
+
+    lengths = ([5] * 40 + [7] * 37 + [11] * 22 + [14] * 9)
+    K = 5
+    rng = np.random.RandomState(0)
+    sampler = BucketBatchSampler(lengths, [8, 14], batch_size=4,
+                                 include_partial=True, rng=rng,
+                                 dispatch_group=K)
+    seen, run_lens, cur_key, cur = [], [], None, 0
+    per_key_batches = {}
+    for edge, idx in sampler:
+        seen.extend(idx)
+        per_key_batches[edge] = per_key_batches.get(edge, 0) + 1
+        if edge == cur_key:
+            cur += 1
+        else:
+            if cur_key is not None:
+                run_lens.append(cur)
+            cur_key, cur = edge, 1
+    run_lens.append(cur)
+    # every example exactly once
+    assert sorted(seen) == list(range(len(lengths)))
+    # bucket 8 holds 77 examples -> 20 batches; bucket 14 holds 31 -> 8
+    assert per_key_batches == {8: 20, 14: 8}
+    # all runs are K batches long except at most one remainder per key
+    # (20 = 5+5+5+5 exact, 8 = 5+3) -- adjacent same-key runs may merge
+    assert all(r >= K or r in (3,) or r % K == 0 for r in run_lens), \
+        run_lens
+    short = [r for r in run_lens if r % K not in (0,)]
+    assert len(short) <= 2
+
+    # dispatch_group=1 keeps the uniform-shuffle path byte-identical
+    a = list(BucketBatchSampler(lengths, [8, 14], batch_size=4,
+                                include_partial=True,
+                                rng=np.random.RandomState(3)))
+    b = list(BucketBatchSampler(lengths, [8, 14], batch_size=4,
+                                include_partial=True,
+                                rng=np.random.RandomState(3),
+                                dispatch_group=1))
+    assert a == b
+
+
+def test_blocked_order_cli_plumbing():
+    """--batch_order blocked reaches the train iterator with
+    dispatch_group = --steps_per_call (train mode only)."""
+    from cliora_tpu.scripts.common import (get_train_iterator,
+                                           get_validation_iterator)
+    from cliora_tpu.utils.flags import argument_parser, parse_args
+
+    sents = [[i % 5 for i in range(n)] for n in [5] * 30 + [9] * 30]
+    dset = {"sentences": sents,
+            "word2idx": {f"w{i}": i for i in range(5)}, "extra": {}}
+    opt = parse_args(argument_parser(),
+                     ["--batch_size", "4", "--n_length_buckets", "2",
+                      "--mixed_buckets", "--steps_per_call", "6",
+                      "--batch_order", "blocked", "--emb", "none"])
+    assert get_train_iterator(opt, dset).dispatch_group == 6
+    # validation keeps exact order semantics
+    assert get_validation_iterator(opt, dset).dispatch_group == 1

@@ -330,3 +330,36 @@ def test_bucket_sizes_cli_expansion():
     with pytest.raises(ValueError, match="non-bucket edges"):
         make_batch_iterator(Opt(length_buckets="5,8", bucket_sizes="6:4"),
                             dset, batch_size=2)
+
+
+def test_include_partial_cli_plumbing():
+    """--include_partial/--pad_batches reach the TRAIN iterator: with
+    --mixed_buckets every sentence trains (full-coverage production
+    mode); default drops the final sub-B remainder per bucket
+    (reference semantics, cliora/data/dataloader.py)."""
+    from cliora_tpu.scripts.common import get_train_iterator
+    from cliora_tpu.utils.flags import argument_parser, parse_args
+
+    sents = [[i % 7 for i in range(n)]
+             for n in ([5] * 9 + [6] * 4 + [9] * 6)]
+    dset = {"sentences": sents,
+            "word2idx": {f"w{i}": i for i in range(7)},
+            "extra": {}}
+
+    def cover(extra_flags):
+        opt = parse_args(argument_parser(),
+                         ["--batch_size", "4", "--n_length_buckets", "2",
+                          "--mixed_buckets", "--emb", "none"]
+                         + extra_flags)
+        it = get_train_iterator(opt, dset)
+        real = n_rows = 0
+        for bm in it.get_iterator(random_seed=0):
+            real += int(bm.get("real_size", bm["batch_size"]))
+            n_rows = max(n_rows, len(bm["sentences"]))
+        return real, n_rows
+
+    dropped, _ = cover([])
+    full, rows = cover(["--include_partial", "--pad_batches"])
+    assert dropped < len(sents)       # reference default drops remainders
+    assert full == len(sents)         # full coverage
+    assert rows == 4                  # padded to batch_size: no new shapes
